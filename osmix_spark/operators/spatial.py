@@ -1,0 +1,347 @@
+"""Cell-partitioned two-phase spatial joins.
+
+The reference answers spatial queries with in-memory KD / R-tree indexes
+(packages/core/src/indirect-kd-index.ts, ways.ts:200-257). Distributed,
+the equivalent physical pattern is:
+
+  coarse:  cover geometries with Web-Mercator cells (functions/geo.cell_key)
+           and EQUI-JOIN on cell — shuffle-friendly, AQE/skew-join eligible,
+           broadcastable when one side is small;
+  fine:    exact predicate (haversine / bbox overlap / ray-cast PIP) on the
+           pruned candidate pairs.
+
+Scale notes:
+- The cell join is the only shuffle; its key is the partition key big layers
+  are already clustered on, so at 100 TB the coarse phase is a co-located
+  sort-merge join (or broadcast for small dims) rather than a cross join.
+- Hot cells (dense cities) are handled by AQE skew-join splitting plus the
+  optional salt in neighbor_cells-based joins.
+- All fine-phase math is Catalyst expressions except PIP, which is an
+  Arrow-batched mapInPandas (NumPy ray casting) — no per-row Python.
+
+Reference parity:
+- bbox query epsilon + antimeridian: packages/core/src/nodes.ts:455-491 (J2)
+- radius query sorted by (distance, id): nodes.ts:337-357,493-529 (J3)
+- kNN incremental expansion: geoflatbush `around()` used at ways.ts:369-381 (J4)
+- bbox-intersects join + inverted-bbox guard: ways.ts:350-359 (J5)
+- point-in-polygon: raster fill / multipolygon assembly
+  (packages/geo/src/relation-multipolygon.ts, raster-tile.ts:279-330) (J6)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geo
+
+EARTH_CIRCUMFERENCE_M = 40_075_016.686
+
+
+# ---------------------------------------------------------------------------
+# cell assignment
+# ---------------------------------------------------------------------------
+
+def with_cell(df: DataFrame, lon: str = "lon", lat: str = "lat", z: int = 15,
+              out: str = "cell") -> DataFrame:
+    """Attach the engine's spatial partition key."""
+    return df.withColumn(out, geo.cell_key(F.col(lon), F.col(lat), F.lit(z)))
+
+
+def zoom_for_radius(radius_m: float, lat_hint: float = 0.0, max_z: int = 22) -> int:
+    """Largest zoom whose tile ground size still exceeds radius_m, so that a
+    3x3 neighbor block is guaranteed to cover a radius query."""
+    ground = EARTH_CIRCUMFERENCE_M * max(math.cos(math.radians(lat_hint)), 0.01)
+    z = int(math.floor(math.log2(ground / max(radius_m, 0.01))))
+    return max(0, min(max_z, z))
+
+
+def neighbor_cells_from_xy(x: Column, y: Column, z: int, ring: int = 1) -> Column:
+    """Array of packed cell keys for the (2*ring+1)^2 block around tile (x,y).
+
+    x wraps at the antimeridian; y clamps at the poles (slippy convention,
+    matching the reference's antimeridian split in nodes.ts:483-489).
+
+    Takes PRE-MATERIALIZED tile coords: inlining the trig chain of
+    tile_x/tile_y once per neighbor blows whole-stage codegen's 64 KB
+    method limit (observed) — callers project __tx/__ty once per row and
+    the per-neighbor expression stays a few adds.
+    """
+    n = 1 << z
+    cells = []
+    for dx in range(-ring, ring + 1):
+        for dy in range(-ring, ring + 1):
+            nx = (x + dx + n) % n
+            ny = F.least(F.greatest(y + dy, F.lit(0)), F.lit(n - 1))
+            cells.append(F.shiftleft(F.lit(z).cast("long"), 58) + F.shiftleft(nx, 29) + ny)
+    return F.array_distinct(F.array(*cells))
+
+
+def _explode_neighbors(df: DataFrame, lon: str, lat: str, z: int, ring: int = 1,
+                       out: str = "__cell") -> DataFrame:
+    """df + one row per neighbor cell of (lon,lat), tile coords computed once."""
+    return (
+        df.withColumn("__tx", geo.tile_x(F.col(lon), F.lit(z)))
+        .withColumn("__ty", geo.tile_y(F.col(lat), F.lit(z)))
+        .withColumn(out, F.explode(
+            neighbor_cells_from_xy(F.col("__tx"), F.col("__ty"), z, ring)))
+        .drop("__tx", "__ty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — bbox query
+# ---------------------------------------------------------------------------
+
+def bbox_query(nodes: DataFrame, west: float, south: float, east: float,
+               north: float, lon: str = "lon", lat: str = "lat",
+               epsilon: float = geo.BBOX_EPSILON_DEG) -> DataFrame:
+    """Inclusive-epsilon bbox filter; Catalyst pushes it to the scan."""
+    return nodes.filter(geo.in_bbox(F.col(lon), F.col(lat), west, south, east, north, epsilon))
+
+
+# ---------------------------------------------------------------------------
+# J3 — radius query / join
+# ---------------------------------------------------------------------------
+
+def radius_query(nodes: DataFrame, center_lon: float, center_lat: float,
+                 radius_m: float, id_col: str = "id",
+                 lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """All nodes within radius_m of the center, ordered by (distance, id).
+
+    Conservative bbox prefilter (pushed to the scan) then exact haversine —
+    the distributed twin of nodes.ts:493-529.
+    """
+    dlat = math.degrees(radius_m / geo.EARTH_RADIUS_M)
+    coslat = max(math.cos(math.radians(center_lat)), 1e-9)
+    dlon = math.degrees(radius_m / (geo.EARTH_RADIUS_M * coslat))
+    pre = nodes.filter(
+        geo.in_bbox(F.col(lon), F.col(lat),
+                    center_lon - dlon, center_lat - dlat,
+                    center_lon + dlon, center_lat + dlat, epsilon=0.0)
+        if dlon < 180.0 else F.lit(True)
+    )
+    dist = geo.haversine_m(F.col(lon), F.col(lat), F.lit(center_lon), F.lit(center_lat))
+    return (
+        pre.withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= radius_m)
+        .orderBy("dist_m", id_col)
+    )
+
+
+def radius_join(queries: DataFrame, points: DataFrame, radius_m: float,
+                q_lon: str = "lon", q_lat: str = "lat",
+                p_lon: str = "lon", p_lat: str = "lat",
+                z: int | None = None, lat_hint: float = 45.0) -> DataFrame:
+    """Distance join: every (query, point) pair within radius_m.
+
+    Coarse: points keyed by their cell; queries exploded to the 3x3 neighbor
+    block at a zoom where one ring covers the radius. Fine: haversine.
+    Output: all query columns (q_ prefix dropped), point columns prefixed
+    p_, plus dist_m.
+    """
+    if z is None:
+        z = zoom_for_radius(radius_m, lat_hint)
+    p = points.select(
+        *[F.col(c).alias(f"p_{c}") for c in points.columns],
+        geo.cell_key(F.col(p_lon), F.col(p_lat), F.lit(z)).alias("__cell"),
+    )
+    q = _explode_neighbors(queries, q_lon, q_lat, z)
+    dist = geo.haversine_m(F.col(q_lon), F.col(q_lat), F.col(f"p_{p_lon}"), F.col(f"p_{p_lat}"))
+    return (
+        q.join(p, "__cell")
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= radius_m)
+        .drop("__cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — kNN via cell-ring expansion
+# ---------------------------------------------------------------------------
+
+def knn_join(queries: DataFrame, points: DataFrame, k: int,
+             query_id: str = "query_id", point_id: str = "id",
+             q_lon: str = "lon", q_lat: str = "lat",
+             p_lon: str = "lon", p_lat: str = "lat",
+             z: int = 12, max_ring: int = 8) -> DataFrame:
+    """k nearest points per query, ordered by (distance, point id) — the
+    distributed twin of geoflatbush incremental expansion (ways.ts:369-381).
+
+    Ring expansion with a sufficiency guarantee: a result set at ring r is
+    final only if the k-th distance <= r * (minimum tile ground size),
+    i.e. no unexplored cell could contain a closer point. Queries that fail
+    the guarantee re-run at a wider ring (driver loop, bounded by max_ring —
+    each round is one cell equi-join, not a cross join).
+    """
+    from pyspark.sql.window import Window
+
+    p = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(p_lon).alias("__plon"),
+        F.col(p_lat).alias("__plat"),
+        geo.cell_key(F.col(p_lon), F.col(p_lat), F.lit(z)).alias("__cell"),
+    )
+    remaining = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(q_lon).alias("__qlon"),
+        F.col(q_lat).alias("__qlat"),
+    )
+    # worst-case tile ground size at the query latitude (shrinks poleward, so
+    # using cos(lat) of each query is conservative per-query)
+    results: DataFrame | None = None
+    ring = 1
+    while True:
+        cand = _explode_neighbors(remaining, "__qlon", "__qlat", z, ring).join(p, "__cell")
+        dist = geo.haversine_m(F.col("__qlon"), F.col("__qlat"), F.col("__plon"), F.col("__plat"))
+        w = Window.partitionBy("__qid").orderBy(F.col("dist_m"), F.col("__pid"))
+        topk = (
+            cand.withColumn("dist_m", dist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+        )
+        # sufficiency: k-th distance must be covered by the explored ring
+        tile_ground = (
+            F.lit(EARTH_CIRCUMFERENCE_M) * F.cos(F.radians(F.col("__qlat"))) / F.lit(1 << z)
+        )
+        stats = topk.groupBy("__qid").agg(
+            F.max("dist_m").alias("__kth"), F.count("*").alias("__n"),
+            F.first(tile_ground).alias("__tg"),
+        )
+        done_q = stats.filter(
+            (F.col("__n") >= k) & (F.col("__kth") <= F.col("__tg") * ring)
+        ).select("__qid")
+        if ring >= max_ring:
+            done_q = stats.select("__qid")  # best effort at the cap
+        done = topk.join(done_q, "__qid", "left_semi")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_q, "__qid", "left_anti")
+        if ring >= max_ring or remaining.isEmpty():
+            break
+        ring *= 2
+    return results.select(
+        F.col("__qid").alias(query_id), F.col("__pid").alias(point_id),
+        F.col("dist_m"), F.col("__rn").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — bbox-overlap join
+# ---------------------------------------------------------------------------
+
+def cover_cells(west, south, east, north, z: int, max_cells: int = 256) -> Column:
+    """Array of cell keys covering a bbox at zoom z (bboxToTileRange,
+    tile.ts:66-79). Capped: a bbox spanning more than max_cells falls back
+    to a coarser implicit coverage by clamping the range (callers pick z so
+    typical boxes cover a handful of cells)."""
+    x0, x1 = geo.tile_x(west, F.lit(z)), geo.tile_x(east, F.lit(z))
+    y0, y1 = geo.tile_y(north, F.lit(z)), geo.tile_y(south, F.lit(z))  # y grows south
+    xs = F.sequence(x0, F.least(x1, x0 + int(math.isqrt(max_cells)) - 1))
+    ys = F.sequence(y0, F.least(y1, y0 + int(math.isqrt(max_cells)) - 1))
+    pairs = F.flatten(F.transform(xs, lambda x: F.transform(ys, lambda y: F.struct(x.alias("x"), y.alias("y")))))
+    zc = F.lit(z).cast("long")
+    return F.transform(pairs, lambda p: F.shiftleft(zc, 58) + F.shiftleft(p.x, 29) + p.y)
+
+
+def bbox_overlap_join(a: DataFrame, b: DataFrame, z: int = 12,
+                      a_cols=("minx", "miny", "maxx", "maxy"),
+                      b_cols=("minx", "miny", "maxx", "maxy")) -> DataFrame:
+    """All (a, b) pairs whose bboxes overlap (J5). Coarse: both sides explode
+    to covering cells at z and equi-join; fine: exact overlap + inverted-bbox
+    guard; pair-dedupe via distinct on the two row sets' columns."""
+    aw, as_, ae, an = a_cols
+    bw, bs, be, bn = b_cols
+    ax = a.select(*[F.col(c).alias(f"a_{c}") for c in a.columns]).withColumn(
+        "__cell", F.explode(cover_cells(F.col(f"a_{aw}"), F.col(f"a_{as_}"),
+                                        F.col(f"a_{ae}"), F.col(f"a_{an}"), z))
+    )
+    bx = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns]).withColumn(
+        "__cell", F.explode(cover_cells(F.col(f"b_{bw}"), F.col(f"b_{bs}"),
+                                        F.col(f"b_{be}"), F.col(f"b_{bn}"), z))
+    )
+    overlap = geo.bbox_intersects(
+        F.col(f"a_{aw}"), F.col(f"a_{as_}"), F.col(f"a_{ae}"), F.col(f"a_{an}"),
+        F.col(f"b_{bw}"), F.col(f"b_{bs}"), F.col(f"b_{be}"), F.col(f"b_{bn}"),
+    )
+    return ax.join(bx, "__cell").filter(overlap).drop("__cell").distinct()
+
+
+# ---------------------------------------------------------------------------
+# J6 — point-in-polygon (broadcast ray-cast refine)
+# ---------------------------------------------------------------------------
+
+def point_in_polygon(points: DataFrame, polygons: Sequence[tuple],
+                     lon: str = "lon", lat: str = "lat",
+                     keep: Iterable[str] | None = None) -> DataFrame:
+    """Assign each point the id of the polygon containing it (or drop it).
+
+    polygons: small dim layer [(polygon_id, [(lon, lat), ...]), ...] —
+    broadcast to every task; fine phase is vectorized NumPy ray casting
+    inside mapInPandas (Arrow batches; the shapely-free stand-in for a
+    per-partition STRtree). Points are bbox-prefiltered JVM-side so most
+    rows never reach Python.
+    """
+    import numpy as np
+
+    keep_cols = list(keep) if keep is not None else [c for c in points.columns]
+    minx = min(min(v[0] for v in verts) for _, verts in polygons)
+    maxx = max(max(v[0] for v in verts) for _, verts in polygons)
+    miny = min(min(v[1] for v in verts) for _, verts in polygons)
+    maxy = max(max(v[1] for v in verts) for _, verts in polygons)
+    pre = points.filter(
+        (F.col(lon) >= minx) & (F.col(lon) <= maxx)
+        & (F.col(lat) >= miny) & (F.col(lat) <= maxy)
+    ).select(*keep_cols)
+
+    polys = [(pid, [(float(x), float(y)) for x, y in verts]) for pid, verts in polygons]
+    out_schema = T.StructType(
+        list(pre.schema.fields) + [T.StructField("polygon_id", T.LongType(), False)]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mats = [
+            (pid, np.asarray(verts, dtype=np.float64)) for pid, verts in polys
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            px = pdf[lon].to_numpy(dtype=np.float64)
+            py = pdf[lat].to_numpy(dtype=np.float64)
+            assigned = np.full(len(pdf), -1, dtype=np.int64)
+            for pid, v in mats:
+                unset = assigned == -1
+                if not unset.any():
+                    break
+                inside = _ray_cast(px[unset], py[unset], v)
+                idx = np.nonzero(unset)[0][inside]
+                assigned[idx] = pid
+            hit = assigned >= 0
+            out = pdf.loc[hit].copy()
+            out["polygon_id"] = assigned[hit]
+            yield out
+
+    return pre.mapInPandas(refine, schema=out_schema)
+
+
+def _ray_cast(px, py, verts):
+    """Vectorized even-odd rule: px/py (M,), verts (N,2) closed implicitly."""
+    import numpy as np
+
+    inside = np.zeros(px.shape, dtype=bool)
+    n = len(verts)
+    j = n - 1
+    for i in range(n):
+        xi, yi = verts[i]
+        xj, yj = verts[j]
+        crosses = ((yi > py) != (yj > py)) & (
+            px < (xj - xi) * (py - yi) / (yj - yi + 1e-300) + xi
+        )
+        inside ^= crosses
+        j = i
+    return inside

@@ -1,0 +1,99 @@
+"""Geo kernel parity tests: haversine, tile math, microdegrees, zigzag —
+asserted against independently computed values (formulas from the reference,
+see osmix_spark/functions/geo.py docstring)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmix_spark.functions import geo
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_haversine_known_distance(spark):
+    # Paris -> London ~ 343.5 km
+    d = _one(spark, geo.haversine_m(F.lit(2.3522), F.lit(48.8566), F.lit(-0.1276), F.lit(51.5072)))
+    assert d == pytest.approx(343_556, rel=0.01)
+
+
+def test_haversine_zero(spark):
+    assert _one(spark, geo.haversine_m(F.lit(1.0), F.lit(2.0), F.lit(1.0), F.lit(2.0))) == 0.0
+
+
+def test_micro_roundtrip(spark):
+    v = _one(spark, geo.micro_to_deg(geo.to_micro(F.lit(-120.505898))))
+    assert v == pytest.approx(-120.505898, abs=1e-7)
+
+
+def test_tile_math_matches_slippy(spark):
+    # reference point: lon 7.42, lat 43.73 (monaco), z=12
+    lon, lat, z = 7.42, 43.73, 12
+    n = 2**z
+    exp_x = math.floor((lon + 180) / 360 * n)
+    lat_rad = math.radians(lat)
+    exp_y = math.floor((1 - math.log(math.tan(lat_rad) + 1 / math.cos(lat_rad)) / math.pi) / 2 * n)
+    assert _one(spark, geo.tile_x(F.lit(lon), F.lit(z))) == exp_x
+    assert _one(spark, geo.tile_y(F.lit(lat), F.lit(z))) == exp_y
+
+
+def test_tile_to_lonlat_inverse(spark):
+    z = 10
+    x = _one(spark, geo.tile_x(F.lit(-120.5), F.lit(z)))
+    y = _one(spark, geo.tile_y(F.lit(46.6), F.lit(z)))
+    west = _one(spark, geo.tile_to_lon(F.lit(x), F.lit(z)))
+    east = _one(spark, geo.tile_to_lon(F.lit(x + 1), F.lit(z)))
+    north = _one(spark, geo.tile_to_lat(F.lit(y), F.lit(z)))
+    south = _one(spark, geo.tile_to_lat(F.lit(y + 1), F.lit(z)))
+    assert west <= -120.5 < east
+    assert south <= 46.6 < north
+
+
+def test_cell_key_roundtrip(spark):
+    key = _one(spark, geo.cell_key(F.lit(-120.5), F.lit(46.6), F.lit(15)))
+    z, x, y = [
+        _one(spark, c) for c in geo.cell_key_parts(F.lit(key))
+    ]
+    assert z == 15
+    assert x == _one(spark, geo.tile_x(F.lit(-120.5), F.lit(15)))
+    assert y == _one(spark, geo.tile_y(F.lit(46.6), F.lit(15)))
+
+
+def test_zigzag_roundtrip(spark):
+    for v in (-5, -1, 0, 1, 7, 123456):
+        enc = _one(spark, geo.zigzag_encode(F.lit(v)))
+        assert enc >= 0
+        assert _one(spark, geo.zigzag_decode(F.lit(enc))) == v
+
+
+def test_in_bbox_epsilon_and_antimeridian(spark):
+    # boundary point included via epsilon
+    assert _one(spark, geo.in_bbox(F.lit(7.4053929 - 1e-6), F.lit(43.73), 7.4053929, 43.7232244, 7.4447259, 43.7543687))
+    # antimeridian wrap: west=179, east=-179 includes lon=179.5 and -179.5
+    assert _one(spark, geo.in_bbox(F.lit(179.5), F.lit(0.0), 179.0, -1.0, -179.0, 1.0))
+    assert _one(spark, geo.in_bbox(F.lit(-179.5), F.lit(0.0), 179.0, -1.0, -179.0, 1.0))
+    assert not _one(spark, geo.in_bbox(F.lit(0.0), F.lit(0.0), 179.0, -1.0, -179.0, 1.0))
+
+
+def test_quadkey_prefix_property(spark):
+    # the z-1 quadkey is a prefix of the z quadkey
+    q10 = _one(spark, geo.quadkey(F.lit(-120.5), F.lit(46.6), 10))
+    q12 = _one(spark, geo.quadkey(F.lit(-120.5), F.lit(46.6), 12))
+    assert len(q10) == 10 and len(q12) == 12
+    assert q12.startswith(q10)
+
+
+def test_way_is_area(spark):
+    closed = F.lit(True)
+    t = F.create_map(F.lit("building"), F.lit("house"))
+    assert _one(spark, geo.way_is_area(t, closed))
+    t2 = F.create_map(F.lit("natural"), F.lit("coastline"))
+    assert not _one(spark, geo.way_is_area(t2, closed))
+    t3 = F.create_map(F.lit("highway"), F.lit("primary"), F.lit("area"), F.lit("yes"))
+    assert _one(spark, geo.way_is_area(t3, closed))
+    assert not _one(spark, geo.way_is_area(t, F.lit(False)))

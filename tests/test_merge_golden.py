@@ -1,0 +1,147 @@
+"""Golden merge/dedupe test replicating the reference's
+packages/change/test/merge.test.ts:33-120 outcomes on the exact
+packages/core/src/mocks.ts fixture:
+
+- generateDirectChanges(base<-patch): 10 changes (6 node + 4 way)
+- after apply: 8 nodes, 4 ways; way 1 keeps refs [0,1] with patch tags
+- after dedupe: node 0 deleted in favor of coincident tagged node 2;
+  way 1 refs rewritten [0,1] -> [2,1]; node 2 kept with crossing=yes
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmix_spark.operators import merge
+from osmix_spark.sources import fixtures
+
+
+def test_generate_direct_changes_counts(spark):
+    base_n, base_w = fixtures.base_nodes(spark), fixtures.base_ways(spark)
+    patch_n, patch_w = fixtures.patch_nodes(spark), fixtures.patch_ways(spark)
+
+    node_changes = merge.generate_direct_changes(base_n, patch_n)
+    way_changes = merge.generate_direct_changes(base_w, patch_w)
+    n_node = node_changes.count()
+    n_way = way_changes.count()
+    # merge.test.ts:36-47 — 6 node changes (nodes 2..7 created; 0,1 identical
+    # no-ops) and 4 way changes (way 1 modified, ways 2..4 created)
+    assert n_node == 6
+    assert n_way == 4
+
+    types = {
+        (r["id"], r["change_type"]) for r in node_changes.select("id", "change_type").collect()
+    }
+    assert types == {(i, "create") for i in range(2, 8)}
+    wtypes = {
+        (r["id"], r["change_type"]) for r in way_changes.select("id", "change_type").collect()
+    }
+    assert wtypes == {(1, "modify"), (2, "create"), (3, "create"), (4, "create")}
+
+
+def test_apply_and_dedupe_golden(spark):
+    base_n, base_w = fixtures.base_nodes(spark), fixtures.base_ways(spark)
+    patch_n, patch_w = fixtures.patch_nodes(spark), fixtures.patch_ways(spark)
+
+    # direct merge (patch wins on conflict)
+    merged_n = merge.direct_merge(base_n, patch_n)
+    merged_w = merge.direct_merge(base_w, patch_w)
+    assert merged_n.count() == 8
+    assert merged_w.count() == 4
+    way1 = merged_w.filter(F.col("id") == 1).collect()[0]
+    assert way1["refs"] == [0, 1]
+    assert way1["tags"] == {"highway": "primary", "version": "2"}
+
+    # dedupe: node 0 (untagged) vs node 2 (crossing=yes) coincide ->
+    # node 2 survives (more tags), node 0 deleted
+    repl = merge.dedupe_nodes(merged_n)
+    rows = {(r["from_id"], r["to_id"]) for r in repl.collect()}
+    assert rows == {(0, 2)}
+
+    # way refs rewritten [0,1] -> [2,1]
+    rewritten = merge.rewrite_way_refs(merged_w, repl)
+    way1 = rewritten.filter(F.col("id") == 1).collect()[0]
+    assert way1["refs"] == [2, 1]
+
+    # apply deletes: node 0 removed, node 2 kept with its tags/coords
+    deletes = repl.select(F.col("from_id").alias("id")).withColumn(
+        "lon", F.lit(None).cast("double")
+    ).withColumn("lat", F.lit(None).cast("double")).withColumn(
+        "tags", F.lit(None).cast("map<string,string>")
+    ).withColumn("change_type", F.lit("delete"))
+    final_n = merge.apply_changeset(merged_n, deletes)
+    assert final_n.count() == 7
+    ids = {r["id"] for r in final_n.select("id").collect()}
+    assert 0 not in ids and 2 in ids
+    node2 = final_n.filter(F.col("id") == 2).collect()[0]
+    assert node2["tags"] == {"crossing": "yes"}
+    assert node2["lon"] == fixtures.YAKIMA_LON
+    assert node2["lat"] == fixtures.YAKIMA_LAT
+
+
+def test_dedupe_survivor_rules(spark):
+    # higher version wins regardless of tags
+    nodes = spark.createDataFrame(
+        [
+            (10, 1.0, 1.0, {"ext:osm_version": "2"}),
+            (11, 1.0, 1.0, {"ext:osm_version": "1", "a": "1", "b": "2"}),
+        ],
+        fixtures.NODE_SCHEMA,
+    )
+    repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_nodes(nodes).collect()}
+    assert repl == {(11, 10)}
+
+    # equal version + equal tags -> max id survives
+    nodes = spark.createDataFrame(
+        [(20, 2.0, 2.0, None), (21, 2.0, 2.0, None)], fixtures.NODE_SCHEMA
+    )
+    repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_nodes(nodes).collect()}
+    assert repl == {(20, 21)}
+
+    # chain flattening: three coincident nodes -> both losers map to the one
+    # global survivor
+    nodes = spark.createDataFrame(
+        [(30, 3.0, 3.0, None), (31, 3.0, 3.0, None), (32, 3.0, 3.0, None)],
+        fixtures.NODE_SCHEMA,
+    )
+    repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_nodes(nodes).collect()}
+    assert repl == {(30, 32), (31, 32)}
+
+    # nodes > 1 m apart never pair
+    nodes = spark.createDataFrame(
+        [(40, 4.0, 4.0, None), (41, 4.0001, 4.0, None)], fixtures.NODE_SCHEMA
+    )
+    assert merge.dedupe_nodes(nodes).count() == 0
+
+
+def test_flatten_replacements_chain(spark):
+    repl = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "from_id long, to_id long")
+    flat = {(r["from_id"], r["to_id"]) for r in merge.flatten_replacements(repl).collect()}
+    assert flat == {(1, 4), (2, 4), (3, 4)}
+
+
+def test_rewrite_way_refs_adjacent_dedupe(spark):
+    ways = spark.createDataFrame(
+        [(1, [10, 11, 12, 13], {"highway": "x"})], fixtures.WAY_SCHEMA
+    )
+    repl = spark.createDataFrame([(11, 12)], "from_id long, to_id long")
+    out = merge.rewrite_way_refs(ways, repl).collect()[0]
+    # 11 -> 12 produces [10,12,12,13]; adjacent dup removed -> [10,12,13]
+    assert out["refs"] == [10, 12, 13]
+
+
+def test_dedupe_ways_geometry_hash(spark):
+    nodes = spark.createDataFrame(
+        [(1, 1.0, 1.0, None), (2, 2.0, 2.0, None), (3, 1.0, 1.0, None), (4, 2.0, 2.0, None)],
+        fixtures.NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (100, [1, 2], {"highway": "primary"}),
+            (101, [3, 4], {"highway": "primary", "name": "dup"}),  # same coords, more tags
+            (102, [2, 1], None),  # reversed order -> different geometry
+        ],
+        fixtures.WAY_SCHEMA,
+    )
+    repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_ways(ways, nodes).collect()}
+    assert repl == {(100, 101)}
