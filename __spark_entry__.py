@@ -1,38 +1,63 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the osmix_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship pipeline at sf0.001: geocode document points,
+                 assign Web-Mercator cells, spatial-join against the
+                 OSM-shaped node layer, aggregate pairs per tile.
+queries()      — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB twins (see osmix_spark/queries.py for the lockstep
+                 implementations).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osmix_spark import queries as _q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages->cells->spatial join->per-tile counts at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.functions import geo
+    from osmix_spark.sources import synth
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id"),
+        synth.clustered_lon("doc_id").alias("lon"),
+        synth.clustered_lat("doc_id").alias("lat"),
+    )
+    nodes = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("node_id"),
+        synth.clustered_lon("p_partkey").alias("lon"),
+        synth.clustered_lat("p_partkey").alias("lat"),
+    )
+    z = F.lit(14)
+    p = pages.withColumn("cell", geo.cell_key(F.col("lon"), F.col("lat"), z))
+    n = nodes.withColumn("cell", geo.cell_key(F.col("lon"), F.col("lat"), z))
+    return (
+        p.join(F.broadcast(n.select("cell", "node_id")), "cell")
+        .groupBy("cell")
+        .agg(
+            F.countDistinct("doc_id").alias("n_pages"),
+            F.countDistinct("node_id").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .orderBy("cell")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_q.ORACLES)

@@ -87,12 +87,16 @@ def lang_scores(text) -> list[Column]:
     Returns one aliased count column per language in LANG_MARKERS.
     """
     toks = tokens(text)
-    out = []
-    for lang, markers in LANG_MARKERS.items():
-        out.append(
-            F.size(F.filter(toks, lambda x, m=markers: x.isin(*m))).alias(f"score_{lang}")
-        )
-    return out
+
+    def marker_pred(markers):
+        # single-arg lambda factory: a 2-arg lambda would make F.filter pass
+        # the element index as the second argument
+        return lambda x: x.isin(*markers)
+
+    return [
+        F.size(F.filter(toks, marker_pred(markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
 
 
 def fingerprint(text) -> Column:
@@ -104,12 +108,23 @@ def fingerprint(text) -> Column:
     return portable_hash64(norm, "fp")
 
 
-def shingles(text, k: int = 3) -> Column:
-    """Word k-shingles as strings: token[i..i+k) joined by ' '."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings: token[i..i+k) joined by ' '.
+
+    Takes a MATERIALIZED token-array column: passing the `tokens(text)`
+    expression directly would inline the full split() once per element_at —
+    k evaluations per shingle, an O(len^2) blowup (observed 2x bench
+    regression). Callers project tokens into a column first.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     return F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
+
+
+def shingles(text, k: int = 3) -> Column:
+    """Convenience wrapper for small inputs/tests; hot paths must use
+    shingles_from_tokens on a projected column (see its docstring)."""
+    return shingles_from_tokens(tokens(text), k)

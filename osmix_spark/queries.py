@@ -1,0 +1,844 @@
+"""The engine's query suite + DuckDB oracle twins (driver contract).
+
+Each entry in QUERIES is a (spark, sf_dir) -> DataFrame callable exercising
+one operator family from SURVEY.md §2; ORACLES holds the ANSI-SQL twin that
+DuckDB runs on the same parquet tables. Column names/types and value
+rounding are kept in lockstep — the driver hash-compares values after
+sorting columns by name.
+
+Float parity strategy: coordinates are derived with integer modular
+arithmetic + double division (bit-identical across engines, see
+sources/synth.py); transcendental results (haversine, mercator, cosine)
+are rounded before output so last-bit differences can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import geo, text
+from .functions.hashing import portable_hash64, portable_hash64_sql
+from .operators import merge, spatial
+from .sources import synth
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: Query):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared SQL snippets (twins of osmix_spark expressions — keep in lockstep)
+# ---------------------------------------------------------------------------
+
+def _hav_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Twin of functions/geo.haversine_m (same op order)."""
+    return (
+        f"(6371008.8 * (2.0 * atan2("
+        f"sqrt(pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)"
+        f" * cos(radians({lat1})) * cos(radians({lat2}))),"
+        f"sqrt(1 - (pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)"
+        f" * cos(radians({lat1})) * cos(radians({lat2})))))))"
+    )
+
+
+def _tile_x_sql(lon: str, z: int) -> str:
+    n = 1 << z
+    return (
+        f"least(greatest(floor((({lon}) / 360.0 + 0.5) * pow(2.0, {z})), 0), {n - 1})::BIGINT"
+    )
+
+
+def _tile_y_sql(lat: str, z: int) -> str:
+    n = 1 << z
+    return (
+        f"least(greatest(floor((0.5 - 0.25 * ln((1.0 + sin(radians({lat})))"
+        f" / (1.0 - sin(radians({lat})))) / pi()) * pow(2.0, {z})), 0), {n - 1})::BIGINT"
+    )
+
+
+def _cell_sql(lon: str, lat: str, z: int) -> str:
+    return f"(({z}::BIGINT << 58) + ({_tile_x_sql(lon, z)} << 29) + {_tile_y_sql(lat, z)})"
+
+
+_TOKS_SQL = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+DOC_LON_SQL, DOC_LAT_SQL = synth.clustered_sql("doc_id")
+PART_LON_SQL, PART_LAT_SQL = synth.clustered_sql("p_partkey")
+
+
+def _doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        synth.clustered_lon("doc_id").alias("lon"),
+        synth.clustered_lat("doc_id").alias("lat"),
+    )
+
+
+def _part_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"),
+        synth.clustered_lon("p_partkey").alias("lon"),
+        synth.clustered_lat("p_partkey").alias("lat"),
+    )
+
+
+# ===========================================================================
+# Relational core (scan/filter/join/agg/window/sort — SURVEY §2.2-2.6)
+# ===========================================================================
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan+filter+agg (partial agg map-side; pushdown on
+    l_shipdate reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q3_order_revenue",
+    """
+    SELECT o.o_orderkey,
+           (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)))::DOUBLE AS revenue,
+           c.c_mktsegment
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, c.c_mktsegment
+    """,
+)
+def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg; the small dimension (customer) broadcasts."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            # decimal accumulation: exact + order-independent, so the value
+            # matches the oracle bit-for-bit regardless of partial-agg order
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "c_mktsegment")
+    )
+
+
+@_q(
+    "q_window_top_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group (the reference's kNN/survivor idiom,
+    SURVEY §2.5)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "q_events_daily",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (daily) event aggregation — the batch shape of the
+    streaming rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ===========================================================================
+# Geo kernel + spatial joins (SURVEY §2.3, J2-J6)
+# ===========================================================================
+
+@_q(
+    "geo_cell_assign",
+    f"""
+    SELECT doc_id,
+           {_tile_x_sql(DOC_LON_SQL, 12)} AS tile_x,
+           {_tile_y_sql(DOC_LAT_SQL, 12)} AS tile_y,
+           {_cell_sql(DOC_LON_SQL, DOC_LAT_SQL, 12)} AS cell
+    FROM documents
+    """,
+)
+def geo_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point -> (tile_x, tile_y, packed cell) at z12 — the tile-assignment
+    kernel (geo/src/tile.ts math)."""
+    pts = _doc_points(spark, sf_dir)
+    z = F.lit(12)
+    return pts.select(
+        "doc_id",
+        geo.tile_x(F.col("lon"), z).alias("tile_x"),
+        geo.tile_y(F.col("lat"), z).alias("tile_y"),
+        geo.cell_key(F.col("lon"), F.col("lat"), z).alias("cell"),
+    )
+
+
+_BBOX = (
+    synth.CENTROID_LON + 0.5 * synth.CLUSTER_STEP_LON,
+    synth.CENTROID_LAT - 0.02,
+    synth.CENTROID_LON + 2.5 * synth.CLUSTER_STEP_LON,
+    synth.CENTROID_LAT + 0.12,
+)
+
+@_q(
+    "geo_bbox_query",
+    f"""
+    SELECT doc_id, {DOC_LON_SQL} AS lon, {DOC_LAT_SQL} AS lat
+    FROM documents
+    WHERE {DOC_LON_SQL} >= {_BBOX[0]} - 0.00001 AND {DOC_LON_SQL} <= {_BBOX[2]} + 0.00001
+      AND {DOC_LAT_SQL} >= {_BBOX[1]} - 0.00001 AND {DOC_LAT_SQL} <= {_BBOX[3]} + 0.00001
+    """,
+)
+def geo_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: inclusive-epsilon bbox containment (nodes.ts:455-491)."""
+    pts = _doc_points(spark, sf_dir)
+    return spatial.bbox_query(pts, *_BBOX).select("doc_id", "lon", "lat")
+
+
+_RQ_CENTER = synth.cluster_center(1)
+
+@_q(
+    "geo_radius_query",
+    f"""
+    SELECT doc_id, round({_hav_sql(DOC_LON_SQL, DOC_LAT_SQL, str(_RQ_CENTER[0]), str(_RQ_CENTER[1]))}, 3) AS dist_m
+    FROM documents
+    WHERE {_hav_sql(DOC_LON_SQL, DOC_LAT_SQL, str(_RQ_CENTER[0]), str(_RQ_CENTER[1]))} <= 2000.0
+    """,
+)
+def geo_radius_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: radius query, exact haversine refine (nodes.ts:493-529)."""
+    pts = _doc_points(spark, sf_dir)
+    r = spatial.radius_query(pts, _RQ_CENTER[0], _RQ_CENTER[1], 2000.0, id_col="doc_id")
+    return r.select("doc_id", F.round("dist_m", 3).alias("dist_m"))
+
+
+_KNN_CENTERS_SQL = f"""
+    SELECT n_nationkey AS query_id,
+           ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) AS qlon,
+           ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) AS qlat
+    FROM nation WHERE n_nationkey BETWEEN 1 AND 5
+"""
+
+@_q(
+    "geo_knn",
+    f"""
+    WITH q AS ({_KNN_CENTERS_SQL}),
+    d AS (
+      SELECT q.query_id, documents.doc_id,
+             {_hav_sql("q.qlon", "q.qlat", DOC_LON_SQL, DOC_LAT_SQL)} AS dist
+      FROM q CROSS JOIN documents
+    )
+    SELECT query_id, doc_id, round(dist, 3) AS dist_m, rn::BIGINT AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn FROM d)
+    WHERE rn <= 5
+    """,
+)
+def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: kNN via cell-ring expansion with the sufficiency guarantee —
+    oracle is the brute-force cross join."""
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey").between(1, 5))
+    cid = F.col("n_nationkey") % synth.NUM_CLUSTERS
+    queries = nation.select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        (F.lit(synth.CENTROID_LON) + cid.cast("double") * synth.CLUSTER_STEP_LON).alias("lon"),
+        (F.lit(synth.CENTROID_LAT) + (cid % 3).cast("double") * synth.CLUSTER_STEP_LAT).alias("lat"),
+    )
+    pts = _doc_points(spark, sf_dir)
+    out = spatial.knn_join(queries, pts, k=5, point_id="doc_id", z=12)
+    return out.select(
+        "query_id", "doc_id", F.round("dist_m", 3).alias("dist_m"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_q(
+    "geo_tile_assignment",
+    f"""
+    SELECT doc_id, z::INT AS z,
+           least(greatest(floor((({DOC_LON_SQL}) / 360.0 + 0.5) * pow(2.0, z)), 0), pow(2.0, z) - 1)::BIGINT AS x,
+           least(greatest(floor((0.5 - 0.25 * ln((1.0 + sin(radians({DOC_LAT_SQL}))) / (1.0 - sin(radians({DOC_LAT_SQL})))) / pi()) * pow(2.0, z)), 0), pow(2.0, z) - 1)::BIGINT AS y
+    FROM documents, (SELECT unnest([10, 12, 14]) AS z)
+    """,
+)
+def geo_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4-style tile assignment rows: each point x zooms {10,12,14} —
+    the golden (z,x,y,entity) output of tile materialization."""
+    pts = _doc_points(spark, sf_dir)
+    zs = F.explode(F.array(F.lit(10), F.lit(12), F.lit(14))).alias("z")
+    e = pts.select("doc_id", "lon", "lat", zs)
+    return e.select(
+        "doc_id",
+        F.col("z").cast("int").alias("z"),
+        geo.tile_x(F.col("lon"), F.col("z")).alias("x"),
+        geo.tile_y(F.col("lat"), F.col("z")).alias("y"),
+    )
+
+
+_HEXES = [
+    (cid, synth.hexagon_vertices(*synth.cluster_center(cid), r=0.04)) for cid in (1, 2, 3)
+]
+
+def _hex_edges_sql() -> str:
+    rows = []
+    for pid, verts in _HEXES:
+        for i in range(len(verts)):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % len(verts)]
+            rows.append(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return ", ".join(rows)
+
+
+@_q(
+    "geo_point_in_polygon",
+    f"""
+    WITH edges(polygon_id, x1, y1, x2, y2) AS (VALUES {_hex_edges_sql()}),
+    pts AS (SELECT doc_id, {DOC_LON_SQL} AS lon, {DOC_LAT_SQL} AS lat FROM documents)
+    SELECT doc_id, polygon_id::BIGINT AS polygon_id FROM (
+      SELECT p.doc_id, e.polygon_id,
+             min((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mincross
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.doc_id, e.polygon_id
+    ) WHERE mincross >= 0
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: point-in-polygon via broadcast NumPy ray casting (mapInPandas);
+    oracle is the convex half-plane test (hexagons are disjoint, so the
+    'first containing polygon' rule is order-independent)."""
+    pts = _doc_points(spark, sf_dir)
+    out = spatial.point_in_polygon(pts, _HEXES)
+    return out.select("doc_id", "polygon_id")
+
+
+@_q(
+    "geo_bbox_overlap_join",
+    f"""
+    WITH boxes AS (
+      SELECT n_nationkey,
+             ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) - 0.03 AS minx,
+             ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) - 0.03 AS miny,
+             ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) + 0.03 AS maxx,
+             ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) + 0.03 AS maxy
+      FROM nation
+    ),
+    dboxes AS (
+      SELECT doc_id, {DOC_LON_SQL} - 0.005 AS minx, {DOC_LAT_SQL} - 0.005 AS miny,
+             {DOC_LON_SQL} + 0.005 AS maxx, {DOC_LAT_SQL} + 0.005 AS maxy
+      FROM documents
+    )
+    SELECT b.n_nationkey, count(*)::BIGINT AS n_overlaps
+    FROM boxes b JOIN dboxes d
+      ON NOT (b.maxx < d.minx OR d.maxx < b.minx OR b.maxy < d.miny OR d.maxy < b.miny)
+    GROUP BY b.n_nationkey
+    """,
+)
+def geo_bbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: bbox-intersects join, cell-pruned; aggregated to overlap counts
+    per nation box (order-insensitive output)."""
+    cid = F.col("n_nationkey") % synth.NUM_CLUSTERS
+    clon = F.lit(synth.CENTROID_LON) + cid.cast("double") * synth.CLUSTER_STEP_LON
+    clat = F.lit(synth.CENTROID_LAT) + (cid % 3).cast("double") * synth.CLUSTER_STEP_LAT
+    boxes = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (clon - 0.03).alias("minx"), (clat - 0.03).alias("miny"),
+        (clon + 0.03).alias("maxx"), (clat + 0.03).alias("maxy"),
+    )
+    pts = _doc_points(spark, sf_dir)
+    dboxes = pts.select(
+        "doc_id",
+        (F.col("lon") - 0.005).alias("minx"), (F.col("lat") - 0.005).alias("miny"),
+        (F.col("lon") + 0.005).alias("maxx"), (F.col("lat") + 0.005).alias("maxy"),
+    )
+    joined = spatial.bbox_overlap_join(boxes, dboxes, z=11)
+    return joined.groupBy(F.col("a_n_nationkey").alias("n_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
+# ===========================================================================
+# OSM merge/dedupe semantics at scale (SURVEY §2.3 J7-J9, §2.7)
+# ===========================================================================
+
+_NODE_SRC_SQL = "(CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END)"
+_NODE_LON_SQL = f"(-120.0 + (({_NODE_SRC_SQL} * 37) % 500)::DOUBLE * 0.0005)"
+_NODE_LAT_SQL = f"(46.0 + (({_NODE_SRC_SQL} * 91) % 500)::DOUBLE * 0.0005)"
+_NODE_VER_SQL = synth_version_sql = synth.synth_version_sql("doc_id")
+
+
+def _synth_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node layer with planted coincidences: ids =1 mod 50 sit exactly on the
+    previous id's position; ids congruent mod 500 share grid positions."""
+    src = F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        (F.lit(-120.0) + ((src * 37) % 500).cast("double") * 0.0005).alias("lon"),
+        (F.lit(46.0) + ((src * 91) % 500).cast("double") * 0.0005).alias("lat"),
+        F.create_map(
+            F.lit("ext:osm_version"), synth.synth_version("doc_id").cast("string")
+        ).alias("tags"),
+    )
+
+
+@_q(
+    "osm_dedupe_nodes",
+    f"""
+    WITH nodes AS (
+      SELECT doc_id AS id, {_NODE_LON_SQL} AS lon, {_NODE_LAT_SQL} AS lat,
+             {_NODE_VER_SQL} AS version
+      FROM documents
+    ),
+    ranked AS (
+      SELECT id, lon, lat, version,
+             row_number() OVER (PARTITION BY lon, lat ORDER BY version DESC, id DESC) AS rn,
+             first_value(id) OVER (PARTITION BY lon, lat ORDER BY version DESC, id DESC) AS survivor
+      FROM nodes
+    )
+    SELECT id AS from_id, survivor AS to_id FROM ranked WHERE rn > 1
+    """,
+)
+def osm_dedupe_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 at scale: coincident-node dedupe over a grid layer with planted
+    duplicate clusters; oracle computes the survivor per exact position
+    (valid because planted grid spacing 55 m >> 1 m radius). Output is the
+    flattened replacement map."""
+    nodes = _synth_nodes(spark, sf_dir)
+    repl = merge.dedupe_nodes(nodes)
+    return repl.select("from_id", "to_id")
+
+
+@_q(
+    "osm_merge_lww",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS id, o_totalprice AS price, o_orderdate AS ts, 'base' AS src
+      FROM orders
+    ),
+    patch AS (
+      SELECT o_orderkey AS id, o_totalprice + 1000.0 AS price,
+             o_orderdate + INTERVAL 1 DAY AS ts, 'patch' AS src
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    unioned AS (
+      SELECT *, 0 AS pri FROM base UNION ALL SELECT *, 1 AS pri FROM patch
+    )
+    SELECT id, price, src
+    FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC, pri DESC) rn FROM unioned)
+    WHERE rn = 1
+    """,
+)
+def osm_merge_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: last-write-wins upsert ordered by changeset timestamp (patch
+    breaks ties), via operators/merge.direct_merge."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("ts"), F.lit("base").alias("src"),
+    )
+    patch = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice") + 1000.0).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit("patch").alias("src"),
+    )
+    out = merge.direct_merge(base, patch, key="id", ts="ts")
+    return out.select("id", "price", "src")
+
+
+@_q(
+    "osm_way_refs_join",
+    f"""
+    WITH nodes AS (
+      SELECT p_partkey, {PART_LON_SQL} AS lon, {PART_LAT_SQL} AS lat FROM part
+    )
+    SELECT l.l_orderkey AS way_id, count(*)::BIGINT AS nrefs,
+           round(min(n.lon), 6) AS minx, round(min(n.lat), 6) AS miny,
+           round(max(n.lon), 6) AS maxx, round(max(n.lat), 6) AS maxy
+    FROM lineitem l JOIN nodes n ON l.l_partkey = n.p_partkey
+    GROUP BY l.l_orderkey
+    """,
+)
+def osm_way_refs_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + A3: the workhorse way->node coordinate resolution join
+    (ways.ts:55-71) with per-way bbox aggregation (ways.ts:211-249);
+    lineitem plays way_refs (way=order, ref=part), part plays nodes."""
+    refs = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("way_id"), F.col("l_partkey").alias("node_id")
+    )
+    nodes = _part_points(spark, sf_dir).withColumnRenamed("p_partkey", "node_id")
+    return (
+        refs.join(nodes, "node_id")
+        .groupBy("way_id")
+        .agg(
+            F.count(F.lit(1)).alias("nrefs"),
+            F.round(F.min("lon"), 6).alias("minx"),
+            F.round(F.min("lat"), 6).alias("miny"),
+            F.round(F.max("lon"), 6).alias("maxx"),
+            F.round(F.max("lat"), 6).alias("maxy"),
+        )
+    )
+
+
+@_q(
+    "osm_apply_changeset",
+    """
+    WITH changes AS (
+      SELECT p_partkey AS id,
+             CASE WHEN p_partkey % 10 = 0 THEN 'delete'
+                  WHEN p_partkey % 10 IN (1, 2) THEN 'modify'
+                  ELSE NULL END AS change_type,
+             round(p_retailprice + 1.0, 2) AS price
+      FROM part WHERE p_partkey % 10 IN (0, 1, 2)
+      UNION ALL
+      SELECT p_partkey + 1000000 AS id, 'create' AS change_type,
+             round(p_retailprice, 2) AS price
+      FROM part WHERE p_partkey % 10 = 3
+    )
+    SELECT id, round(price, 2) AS price FROM (
+      SELECT p_partkey AS id, p_retailprice AS price FROM part
+      WHERE p_partkey NOT IN (SELECT id FROM changes)
+      UNION ALL
+      SELECT id, price FROM changes WHERE change_type <> 'delete'
+    )
+    """,
+)
+def osm_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation changeset materialization (apply-changeset.ts:37-122):
+    base minus deletes, overridden by modifies, plus creates."""
+    part = _t(spark, sf_dir, "part")
+    base = part.select(F.col("p_partkey").alias("id"), F.col("p_retailprice").alias("price"))
+    mods = part.filter(F.col("p_partkey") % 10 <= 2).select(
+        F.col("p_partkey").alias("id"),
+        F.round(F.col("p_retailprice") + 1.0, 2).alias("price"),
+        F.when(F.col("p_partkey") % 10 == 0, "delete").otherwise("modify").alias("change_type"),
+    )
+    creates = part.filter(F.col("p_partkey") % 10 == 3).select(
+        (F.col("p_partkey") + 1000000).alias("id"),
+        F.round(F.col("p_retailprice"), 2).alias("price"),
+        F.lit("create").alias("change_type"),
+    )
+    out = merge.apply_changeset(base, mods.unionByName(creates))
+    return out.select("id", F.round("price", 2).alias("price"))
+
+
+# ===========================================================================
+# Training-data pipeline: dedup / quality / fingerprint (documents table)
+# ===========================================================================
+
+_NORM_TEXT_SQL = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+@_q(
+    "text_exact_dedupe",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             {portable_hash64_sql(_NORM_TEXT_SQL, "fp")} AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, count(*)::BIGINT AS n_dups, min(doc_id) AS survivor
+    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+)
+def text_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedupe via normalized-text fingerprint; emits duplicate groups
+    with the min-id survivor."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("survivor"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@_q(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(toks)::BIGINT AS n_tokens,
+        CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE / len(toks)
+             ELSE 0.0 END AS sw_ratio,
+        CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE / length(text)
+             ELSE 0.0 END AS p_ratio,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+             ELSE 0.0 END AS mwl
+      FROM t
+    )
+    SELECT doc_id, n_tokens, round(sw_ratio, 6) AS stopword_ratio,
+      round((least(n_tokens / 64.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        + (1.0 - least(p_ratio * 4.0, 1.0))
+        + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, stopword ratio, composite score —
+    all JVM-side expressions (functions/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(text.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_MINHASH_SEEDS = tuple(f"mh{i}" for i in range(8))
+
+def _minhash_sql() -> str:
+    shingle = "array_to_string(toks[i:i+2], ' ')"
+    cols = ",\n        ".join(
+        f"min({portable_hash64_sql('s.sh', seed)}) AS {seed}" for seed in _MINHASH_SEEDS
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                   i -> {shingle})) AS sh
+      FROM t WHERE len(toks) >= 3
+    ) , s AS (SELECT DISTINCT doc_id, sh FROM sh)
+    SELECT doc_id,
+        {cols}
+    FROM s GROUP BY doc_id
+    """
+
+
+@_q("text_minhash", _minhash_sql())
+def text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 portable hash functions over distinct word
+    3-shingles) — the signature stage of MinHash-LSH near-dup detection.
+    One shingle explode, 8 mins aggregated in a single pass."""
+    # small parquet reads as one split; spread rows before the shingle
+    # explode so the md5 work parallelizes (at real scale the scan has
+    # thousands of splits and this repartition is a no-op to remove)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = (
+        docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(text.shingles_from_tokens(F.col("toks"), 3)).alias("sh"))
+        .distinct()
+    )
+    return sh.groupBy("doc_id").agg(
+        *[F.min(portable_hash64(F.col("sh"), seed)).alias(seed) for seed in _MINHASH_SEEDS]
+    )
+
+
+@_q(
+    "text_lsh_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t WHERE len(toks) >= 3
+    ), s AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sig AS (
+      SELECT doc_id,
+             min({portable_hash64_sql('s.sh', 'mh0')}) AS b0,
+             min({portable_hash64_sql('s.sh', 'mh1')}) AS b1,
+             min({portable_hash64_sql('s.sh', 'mh2')}) AS b2,
+             min({portable_hash64_sql('s.sh', 'mh3')}) AS b3
+      FROM s GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, (b0 % 1000000007) * 1000003 + (b1 % 1000000007) AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, (b2 % 1000000007) * 1000003 + (b3 % 1000000007) AS bh FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
+def text_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the minhash signature (2 bands x 2 rows): candidate
+    near-duplicate pairs = docs sharing any band hash. Bucket join on the
+    band hash (equi-join, skew-safe), symmetric pair dedupe."""
+    # small parquet reads as one split; spread rows before the shingle
+    # explode so the md5 work parallelizes (at real scale the scan has
+    # thousands of splits and this repartition is a no-op to remove)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = (
+        docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(text.shingles_from_tokens(F.col("toks"), 3)).alias("sh"))
+        .distinct()
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(portable_hash64(F.col("sh"), f"mh{i}")).alias(f"b{i}") for i in range(4)]
+    )
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band"), ((F.col("b0") % 1000000007) * 1000003 + (F.col("b1") % 1000000007)).alias("bh")
+    ).unionByName(
+        sig.select(
+            "doc_id", F.lit(1).alias("band"), ((F.col("b2") % 1000000007) * 1000003 + (F.col("b3") % 1000000007)).alias("bh")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@_q(
+    "text_langid",
+    """
+    WITH t AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)
+    SELECT doc_id, lang,
+           len(list_filter(toks, x -> x IN ('the','and','of')))::BIGINT AS score_en,
+           len(list_filter(toks, x -> x IN ('le','la','et')))::BIGINT AS score_fr,
+           len(list_filter(toks, x -> x IN ('der','die','und')))::BIGINT AS score_de,
+           len(list_filter(toks, x -> x IN ('el','la','que')))::BIGINT AS score_es
+    FROM t
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID scoring (n-gram heuristic family)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        *[s.cast("long").alias(f"score_{lang}")
+          for lang, s in zip(text.LANG_MARKERS, text.lang_scores(F.col("text")))],
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+_COS_SQL = """
+    list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+"""
+
+@_q(
+    "embed_cosine_topk",
+    f"""
+    SELECT query_id, vec_id, round(sim, 5) AS sim, rn::BIGINT AS rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             {_COS_SQL} AS sim,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rn
+      FROM embeddings a CROSS JOIN embeddings b
+      WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=3) for 8 query vectors: the exact-ANN
+    baseline. Dot products as JVM-side zip_with/aggregate (no Python);
+    queries broadcast; top-k per query via window."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def as_double(col):
+        return F.transform(col, lambda x: x.cast("double"))
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    p = emb.select(F.col("vec_id"), as_double(F.col("embedding")).alias("pv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("pv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm_q = F.sqrt(F.aggregate(F.transform(F.col("qv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    norm_p = F.sqrt(F.aggregate(F.transform(F.col("pv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+    return (
+        F.broadcast(q)
+        .join(p, F.col("query_id") != F.col("vec_id"))
+        .withColumn("sim_raw", dot / (norm_q * norm_p))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id", "vec_id", F.round("sim_raw", 5).alias("sim"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
