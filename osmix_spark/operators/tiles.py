@@ -1,0 +1,207 @@
+"""Tile materialization: the reference's per-tile RPC encoders re-expressed
+as a distributed materialization job (SURVEY §2.9, §3.3).
+
+Reference: vector tiles packages/vt/src/encode.ts:22-31,59-260 (extent 4096,
+buffer 64, project lon/lat -> tile px, clip, encode); raster tiles
+packages/raster/src/raster-tile.ts:44-345 (256 px RGBA, line draw +
+scanline fill). Here: features x covering-tiles explode -> repartition by
+(z,x,y) (AQE-salted for dense cells) -> applyInPandas encode -> a
+tiles(z, x, y, bytes, n_features, content_hash) table.
+
+Determinism: features are sorted by id inside each tile group before
+encoding, so tile bytes are identical at any parallelism — the tile table
+content hash is the golden output the north rule compares.
+
+Scale notes: the explode is linear in (features x zoom levels); the only
+shuffle keys on (z,x,y) which is also the output table's partition key.
+Dense-city skew is handled by AQE skew-split on the groupBy; the encoder
+is an Arrow-batched applyInPandas, one group per tile.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geo, mvt
+
+
+def point_tile_px(df: DataFrame, z: int, lon: str = "lon", lat: str = "lat",
+                  extent: int = mvt.EXTENT) -> DataFrame:
+    """Assign each point its covering tile at zoom z plus integer
+    extent-space pixel coords (llToTilePx, geo/src/tile.ts:53-59)."""
+    xf = geo.tile_x_fraction(F.col(lon), F.lit(z))
+    yf = geo.tile_y_fraction(F.col(lat), F.lit(z))
+    df = (
+        df.withColumn("__xf", xf)
+        .withColumn("__yf", yf)
+        .withColumn("tx", F.floor("__xf").cast("long"))
+        .withColumn("ty", F.floor("__yf").cast("long"))
+    )
+    return (
+        df.withColumn("px", F.round((F.col("__xf") - F.col("tx")) * extent).cast("int"))
+        .withColumn("py", F.round((F.col("__yf") - F.col("ty")) * extent).cast("int"))
+        .withColumn("z", F.lit(z).cast("int"))
+        .drop("__xf", "__yf")
+    )
+
+
+MVT_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("tx", T.LongType(), False),
+        T.StructField("ty", T.LongType(), False),
+        T.StructField("n_features", T.IntegerType(), False),
+        T.StructField("size_bytes", T.IntegerType(), False),
+        T.StructField("content_hash", T.LongType(), False),
+        T.StructField("tile", T.BinaryType(), False),
+    ]
+)
+
+
+def encode_point_mvt(points_px: DataFrame, layer: str = "points",
+                     id_col: str = "id",
+                     tag_cols: tuple[str, ...] = ()) -> DataFrame:
+    """points_px: output of point_tile_px (z, tx, ty, px, py, id, tags...).
+    Returns the materialized tile table with deterministic bytes."""
+    cols = ["z", "tx", "ty", id_col, "px", "py", *tag_cols]
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.sort_values(id_col)
+        feats = []
+        for row in pdf.itertuples(index=False):
+            d = row._asdict()
+            feats.append(
+                {
+                    "id": int(d[id_col]),
+                    "type": mvt.GEOM_POINT,
+                    "geometry": [[(int(d["px"]), int(d["py"]))]],
+                    "tags": {c: d[c] for c in tag_cols if d.get(c) is not None},
+                }
+            )
+        buf = mvt.encode_tile({layer: feats})
+        h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
+        return pd.DataFrame(
+            [
+                {
+                    "z": z, "tx": tx, "ty": ty,
+                    "n_features": len(feats), "size_bytes": len(buf),
+                    "content_hash": h, "tile": buf,
+                }
+            ]
+        )
+
+    return (
+        points_px.select(*cols)
+        .groupBy("z", "tx", "ty")
+        .applyInPandas(encode, schema=MVT_SCHEMA)
+    )
+
+
+def encode_way_mvt(ways_px: DataFrame, layer: str = "ways") -> DataFrame:
+    """ways_px: (z, tx, ty, way_id, pxs array<int>, pys array<int>) — one row
+    per (way, covering tile) with extent-space vertex arrays (may extend
+    past the tile edge into the 64 px buffer; clipping to extent+buffer is
+    done here)."""
+    lo, hi = -mvt.BUFFER_PX, mvt.EXTENT + mvt.BUFFER_PX
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.sort_values("way_id")
+        feats = []
+        for row in pdf.itertuples(index=False):
+            pts = [
+                (max(lo, min(hi, int(x))), max(lo, min(hi, int(y))))
+                for x, y in zip(row.pxs, row.pys)
+            ]
+            # drop consecutive duplicates after clamping (cleanCoords,
+            # change/src/utils.ts:86-98)
+            cleaned = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+            if len(cleaned) < 2:
+                continue
+            feats.append(
+                {"id": int(row.way_id), "type": mvt.GEOM_LINESTRING,
+                 "geometry": [cleaned], "tags": {}}
+            )
+        buf = mvt.encode_tile({layer: feats})
+        h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
+        return pd.DataFrame(
+            [{"z": z, "tx": tx, "ty": ty, "n_features": len(feats),
+              "size_bytes": len(buf), "content_hash": h, "tile": buf}]
+        )
+
+    return ways_px.groupBy("z", "tx", "ty").applyInPandas(encode, schema=MVT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# raster tiles (T2)
+# ---------------------------------------------------------------------------
+
+RASTER_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("tx", T.LongType(), False),
+        T.StructField("ty", T.LongType(), False),
+        T.StructField("n_features", T.IntegerType(), False),
+        T.StructField("content_hash", T.LongType(), False),
+        T.StructField("png", T.BinaryType(), False),
+    ]
+)
+
+
+def _write_png_rgba(arr) -> bytes:
+    """Minimal PNG writer (RGBA8): zlib-compressed scanlines, filter 0."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+
+def render_point_raster(points_px: DataFrame, id_col: str = "id",
+                        tile_size: int = 256,
+                        rgba: tuple[int, int, int, int] = (20, 120, 220, 255)) -> DataFrame:
+    """Rasterize points per tile: NumPy scatter into an RGBA buffer
+    (raster-tile.ts:44-120's point path), PNG-encoded. Deterministic:
+    pixel writes are idempotent (fixed color)."""
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
+        xs = (pdf["px"].to_numpy() * tile_size // mvt.EXTENT).clip(0, tile_size - 1)
+        ys = (pdf["py"].to_numpy() * tile_size // mvt.EXTENT).clip(0, tile_size - 1)
+        img[ys, xs] = rgba
+        png = _write_png_rgba(img)
+        h = int.from_bytes(hashlib.md5(png).digest()[:8], "big") >> 1
+        return pd.DataFrame(
+            [{"z": z, "tx": tx, "ty": ty, "n_features": len(pdf),
+              "content_hash": h, "png": png}]
+        )
+
+    return (
+        points_px.select("z", "tx", "ty", id_col, "px", "py")
+        .groupBy("z", "tx", "ty")
+        .applyInPandas(render, schema=RASTER_SCHEMA)
+    )

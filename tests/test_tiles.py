@@ -1,0 +1,95 @@
+"""Tile materialization tests: MVT round-trip (encode -> decode), encoding
+determinism across parallelism, raster PNG validity."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from osmix_spark.functions import mvt
+from osmix_spark.operators import tiles
+from osmix_spark.sources import synth
+
+
+def test_mvt_roundtrip_point_and_line():
+    layers = {
+        "pts": [
+            {"id": 7, "type": mvt.GEOM_POINT, "geometry": [[(100, 200)]],
+             "tags": {"name": "a", "rank": 3}},
+        ],
+        "lines": [
+            {"id": 9, "type": mvt.GEOM_LINESTRING,
+             "geometry": [[(0, 0), (10, 5), (-3, 5)]], "tags": {"hw": "primary"}},
+        ],
+    }
+    buf = mvt.encode_tile(layers)
+    out = mvt.decode_tile(buf)
+    assert set(out) == {"pts", "lines"}
+    p = out["pts"][0]
+    assert p["id"] == 7 and p["geometry"] == [[(100, 200)]]
+    assert p["tags"] == {"name": "a", "rank": 3}
+    ln = out["lines"][0]
+    assert ln["geometry"] == [[(0, 0), (10, 5), (-3, 5)]]
+    assert ln["tags"] == {"hw": "primary"}
+
+
+def test_mvt_roundtrip_polygon():
+    ring = [(0, 0), (100, 0), (100, 100), (0, 100), (0, 0)]
+    buf = mvt.encode_tile(
+        {"polys": [{"id": 1, "type": mvt.GEOM_POLYGON, "geometry": [ring], "tags": {}}]}
+    )
+    out = mvt.decode_tile(buf)
+    assert out["polys"][0]["geometry"] == [ring]
+
+
+def _points(spark, n=500, parts=3):
+    return (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.col("id"),
+            synth.clustered_lon("id").alias("lon"),
+            synth.clustered_lat("id").alias("lat"),
+        )
+    )
+
+
+def test_point_mvt_determinism_across_parallelism(spark):
+    def tile_hashes(parts):
+        px = tiles.point_tile_px(_points(spark, parts=parts), z=13)
+        t = tiles.encode_point_mvt(px)
+        return {
+            (r["z"], r["tx"], r["ty"]): (r["content_hash"], r["n_features"])
+            for r in t.collect()
+        }
+
+    a, b = tile_hashes(1), tile_hashes(7)
+    assert a == b
+    assert len(a) > 1
+    assert sum(n for _, n in a.values()) == 500
+
+
+def test_point_mvt_decodes(spark):
+    px = tiles.point_tile_px(_points(spark, n=50), z=12)
+    row = tiles.encode_point_mvt(px).orderBy("tx", "ty").collect()[0]
+    out = mvt.decode_tile(bytes(row["tile"]))
+    assert len(out["points"]) == row["n_features"]
+    for f in out["points"]:
+        x, y = f["geometry"][0][0]
+        # within extent plus rounding
+        assert 0 <= x <= mvt.EXTENT and 0 <= y <= mvt.EXTENT
+
+
+def test_raster_png_valid(spark):
+    px = tiles.point_tile_px(_points(spark, n=100), z=12)
+    row = tiles.render_point_raster(px).orderBy("tx", "ty").collect()[0]
+    png = bytes(row["png"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # IDAT decompresses to 256 rows of 1+256*4 bytes
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = int.from_bytes(png[idat_start - 8 : idat_start - 4], "big")
+    raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+    assert len(raw) == 256 * (1 + 256 * 4)
+    # at least one non-transparent pixel
+    assert any(raw[i] for i in range(len(raw)))

@@ -1,0 +1,162 @@
+"""Two-cluster-size scaling evidence (north rule).
+
+Runs the SAME flagship job (pages geocoded -> cell-assigned -> spatially
+joined -> per-tile aggregated) on the SAME input at two parallelism levels
+(local[N] and local[4N], fresh JVM each) and reports throughput at both
+plus scaling efficiency = (rows/sec at 4N) / (4 x rows/sec at N).
+
+In this sandbox the two "cluster sizes" are two local-mode core counts —
+the code path (partitioned shuffle, broadcast join, AQE) is identical to a
+multi-executor run via spark-submit --py-files.
+
+Usage: python tools/scaling_bench.py [N] [replicate] [sf_dir]
+       (default N=2 -> compares local[2] vs local[8]; replicate=8 ->
+        lineitem x8 = 4.8M pages at sf0.1)
+
+Writes BENCH.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PREP = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from osmix_spark.session import get_spark
+
+replicate = {replicate}
+sf_dir = {sf_dir!r}
+out_path = {out_path!r}
+spark = get_spark("prep", cores=8)
+spark.sparkContext.setLogLevel("ERROR")
+li = spark.read.parquet(f"{{sf_dir}}/lineitem.parquet")
+base_id = F.col("l_orderkey") * 16 + F.col("l_linenumber")
+pages = (
+    li.select(base_id.alias("bid"))
+    .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+    .select((F.col("bid") * replicate + F.col("r")).alias("page_id"))
+    # many files so the measured scan has real splits (as any big table does)
+    .repartition(32, "page_id")
+)
+pages.write.mode("overwrite").parquet(out_path)
+spark.stop()
+"""
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from osmix_spark.session import get_spark
+from osmix_spark.functions import geo
+from osmix_spark.sources import synth
+
+cores = {cores}
+sf_dir = {sf_dir!r}
+spark = get_spark("scaling", cores=cores, shuffle_partitions=max(cores, 4))
+spark.sparkContext.setLogLevel("ERROR")
+
+pages = spark.read.parquet({out_path!r}).select(
+    "page_id",
+    synth.clustered_lon("page_id").alias("lon"),
+    synth.clustered_lat("page_id").alias("lat"),
+)
+nodes = spark.read.parquet(f"{{sf_dir}}/part.parquet").select(
+    F.col("p_partkey").alias("node_id"),
+    synth.clustered_lon("p_partkey").alias("lon"),
+    synth.clustered_lat("p_partkey").alias("lat"),
+)
+z = F.lit(14)
+def job():
+    p = pages.withColumn("cell", geo.cell_key(F.col("lon"), F.col("lat"), z))
+    n = nodes.select(geo.cell_key(F.col("lon"), F.col("lat"), z).alias("cell"), "node_id")
+    out = (
+        p.join(F.broadcast(n.groupBy("cell").agg(F.count(F.lit(1)).alias("n_nodes"))), "cell")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("n_nodes").alias("node_hits"))
+    )
+    out.write.format("noop").mode("overwrite").save()
+
+n_pages = pages.count()
+job()  # warm codegen/JIT
+times = []
+for _ in range(3):
+    t0 = time.time(); job(); times.append(time.time() - t0)
+best = min(times)
+print(json.dumps({{"cores": cores, "n_pages": n_pages, "sec": round(best, 3),
+                   "rows_per_sec": round(n_pages / best, 1), "times": [round(t,3) for t in times]}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, sf_dir: str, out_path: str) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, out_path=out_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    out_path = os.environ.get("SPARK_GRAFT_PAGES_PATH", "/tmp/osmix_scaling_pages.parquet")
+    prep = PREP.format(repo=REPO, replicate=replicate, sf_dir=sf_dir, out_path=out_path)
+    subprocess.run([sys.executable, "-c", prep], check=True, capture_output=True, timeout=900)
+    lo = run_level(n, sf_dir, out_path)
+    hi = run_level(4 * n, sf_dir, out_path)
+    eff = hi["rows_per_sec"] / (4 * lo["rows_per_sec"])
+    result = {
+        "job": "flagship pages geocode + cell assign + spatial join + tile agg",
+        "input_pages": lo["n_pages"],
+        "sf_dir": sf_dir,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+    md = f"""# BENCH — two-cluster-size scaling evidence (north rule)
+
+The north rule requires >= 0.8 throughput scaling efficiency between N and
+4N executors. No real cluster exists in this sandbox, so the evidence is
+the SAME job, SAME input, at two local parallelism levels (fresh JVM each)
+— the partitioned-shuffle + broadcast-join + AQE code path is identical to
+a multi-executor `spark-submit --py-files` run.
+
+Job: pages geocoded (deterministic synthetic coordinates) -> Web-Mercator
+cell assignment (z14) -> spatial equi-join vs broadcast node layer ->
+per-tile aggregation. Input: {lo['n_pages']:,} pages derived from
+{sf_dir}/lineitem.parquet (best of 3 timed runs after warmup).
+
+| parallelism | wall (s) | pages/sec |
+|---|---|---|
+| local[{n}] | {lo['sec']} | {lo['rows_per_sec']:,.0f} |
+| local[{4*n}] | {hi['sec']} | {hi['rows_per_sec']:,.0f} |
+
+**Scaling efficiency** = (pages/sec at {4*n}) / (4 x pages/sec at {n})
+= **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Raw timings: local[{n}] {lo['times']}, local[{4*n}] {hi['times']}.
+
+Reproduce: `python tools/scaling_bench.py {n} {replicate} {sf_dir}`
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()
