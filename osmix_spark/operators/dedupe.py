@@ -1,0 +1,180 @@
+"""Corpus-level deduplication for training-data pipelines.
+
+Exact (fingerprint groupBy), MinHash + LSH banding, SimHash with
+hamming-banded candidate pairs, exact n-gram Jaccard verification, and
+embedding-cosine near-dup — each expressed shuffle-minimal:
+
+- signatures are one explode + one groupBy (map-side combined);
+- candidate generation is always an equi-join on a band/bucket hash
+  (skew-safe, AQE-eligible), never a cross join;
+- verification joins only the candidate pairs back to the shingle sets.
+
+Portable md5-based hashing (functions/hashing.portable_hash64) keeps every
+stage reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..functions.hashing import portable_hash64
+
+_MOD = 1_000_000_007
+
+
+def exact_dedupe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivor per normalized-text fingerprint (min id), with dup counts."""
+    return (
+        docs.select(F.col(id_col), text.fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("survivor"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 3) -> DataFrame:
+    """(id, sh) distinct word-k-shingles; tokens materialized first (see
+    functions/text.shingles_from_tokens)."""
+    return (
+        docs.select(F.col(id_col), text.tokens(F.col(text_col)).alias("toks"))
+        .select(id_col, F.explode(text.shingles_from_tokens(F.col("toks"), k)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = 8) -> DataFrame:
+    """One pass: H min-hash columns h0..h{H-1} per document."""
+    return shingles.groupBy(id_col).agg(
+        *[F.min(portable_hash64(F.col("sh"), f"mh{i}")).alias(f"h{i}")
+          for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Banding: docs sharing any band hash become a candidate pair.
+    rows_per_band = num_hashes // bands."""
+    rpb = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        bh = F.lit(0).cast("long")
+        for r in range(rpb):
+            bh = (bh * 1000003 + F.col(f"h{b * rpb + r}") % _MOD) % _MOD
+        parts.append(sig.select(F.col(id_col), F.lit(b).alias("band"), bh.alias("bh")))
+    bands_df = parts[0]
+    for p in parts[1:]:
+        bands_df = bands_df.unionByName(p)
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b_ = bands_df.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(shingles: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", threshold: float = 0.0) -> DataFrame:
+    """Exact |A∩B| / |A∪B| for candidate pairs only (semi-joined shingle
+    sets — the corpus never cross-joins)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        pairs.join(sa, "id_a").join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, sum of +/-1 weighted by the
+    token's portable hash bit; sign -> fingerprint bit. One explode + one
+    groupBy with `bits` conditional sums."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(text.tokens(F.col(text_col))).alias("tok"))
+        .withColumn("h", portable_hash64(F.col("tok"), "simhash"))
+    )
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dupes(sim: DataFrame, id_col: str = "doc_id",
+                       bits: int = 16, bands: int = 4,
+                       max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by banded simhash (hamming <= bands-1 guaranteed to
+    share a band); verified with exact popcount hamming distance."""
+    bw = bits // bands
+    mask = (1 << bw) - 1
+    parts = []
+    for b in range(bands):
+        band_val = F.shiftrightunsigned(F.col("simhash"), b * bw).bitwiseAND(F.lit(mask))
+        parts.append(sim.select(F.col(id_col), F.col("simhash"), F.lit(b).alias("band"), band_val.alias("bv")))
+    bands_df = parts[0]
+    for p in parts[1:]:
+        bands_df = bands_df.unionByName(p)
+    a = bands_df.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bv")
+    b_ = bands_df.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bv")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b_, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dupes(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", bucket_col: str | None = None,
+                         threshold: float = 0.9) -> DataFrame:
+    """Cosine-similar pairs within a bucket (a label, an LSH bucket from
+    operators/similarity.lsh_signature, or a cluster id). Exact cosine on
+    the bucket-joined candidates."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col(id_col),
+        v.alias("v"),
+        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [F.lit(0).alias("bucket")] ),
+    )
+    norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    base = base.withColumn("n", norm)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — queries broadcast against the
+  corpus, dot products as JVM-side zip_with/aggregate (no Python), top-k
+  via window. The correctness baseline.
+- lsh_signature + ann_topk: random-hyperplane LSH — deterministic planes
+  derived from a portable hash (no RNG state), sign-bit signatures computed
+  in a vectorized Arrow pandas UDF, candidates from multi-probe bucket
+  equi-joins, exact cosine refine on candidates only. The 100 TB path:
+  corpus bucketed/partitioned by signature, probes touch a few buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(col) -> Column:
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                     q_id: str = "query_id", c_id: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query (excluding self-matches by id)."""
+    q = queries.select(F.col(q_id), _as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(F.col(c_id), _as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cn", _norm(F.col("cv")))
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        F.broadcast(q)
+        .join(c, F.col(q_id) != F.col(c_id))
+        .withColumn("sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, table: int = 0):
+    """Deterministic pseudo-random hyperplanes: component (t, p, d) from
+    md5 — no RNG object, reproducible everywhere."""
+    import numpy as np
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"plane|{table}|{p}|{d}".encode()).digest()
+            out[p, d] = (int.from_bytes(h[:8], "big") / 2**63) - 1.0  # [-1, 1)
+    return out
+
+
+def lsh_signature(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int = 64, bits_per_table: int = 4,
+                  n_tables: int = 8) -> DataFrame:
+    """(id, table, bucket) — one sign-bit bucket per hash table.
+
+    Multi-table LSH: recall = 1 - (1 - p^b)^L where p is the per-plane
+    collision probability; on weakly-clustered (near-random) embeddings a
+    single wide signature has vanishing recall, many short ones compose.
+    Vectorized: one (batch x dim) @ (dim x L*b) matmul per Arrow batch.
+    """
+    import numpy as np
+
+    all_planes = np.concatenate(
+        [_planes(dim, bits_per_table, t) for t in range(n_tables)], axis=0
+    )  # (L*b, dim)
+    weights = (1 << np.arange(bits_per_table)).astype("int64")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(v):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        mat = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (mat @ all_planes.T) > 0  # (batch, L*b)
+        bits = bits.reshape(len(mat), n_tables, bits_per_table)
+        bkt = (bits @ weights).astype("int64")  # (batch, L)
+        return pd.Series(list(bkt))
+
+    out = df.select(F.col(id_col), sigs(_as_double(F.col(vec_col))).alias("b"))
+    return out.select(
+        id_col, F.posexplode("b").alias("table", "bucket")
+    )
+
+
+def ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             q_id: str = "query_id", c_id: str = "vec_id",
+             vec_col: str = "embedding", dim: int = 64,
+             bits_per_table: int = 4, n_tables: int = 8) -> DataFrame:
+    """Approximate top-k: multi-table bucket equi-join, exact cosine refine
+    on candidates only, window top-k. Recall vs brute_force_topk asserted
+    in tests. At scale the corpus side is written bucketed by (table,
+    bucket) so probes read a few buckets instead of the corpus."""
+    c_sig = lsh_signature(corpus, c_id, vec_col, dim, bits_per_table, n_tables)
+    c = corpus.select(F.col(c_id), _as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cn", _norm(F.col("cv"))).join(c_sig, c_id)
+
+    q_sig = lsh_signature(queries, q_id, vec_col, dim, bits_per_table, n_tables)
+    q = (
+        queries.select(F.col(q_id), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("qn", _norm(F.col("qv")))
+        .join(q_sig, q_id)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        q.join(c, ["table", "bucket"])
+        .filter(F.col(q_id) != F.col(c_id))
+        .dropDuplicates([q_id, c_id])
+        .withColumn("sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("sim", 6).alias("sim"), "rank")
+    )

@@ -842,3 +842,401 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rank"),
         )
     )
+
+
+# ===========================================================================
+# SimHash / Jaccard / sessionization / extract / relations / multimodal
+# (appended operator coverage — same lockstep-oracle discipline)
+# ===========================================================================
+
+_SIMHASH_BITS = 16
+
+def _simhash_sql() -> str:
+    tok_hash = portable_hash64_sql("tok", "simhash")
+    sums = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, {tok_hash} AS h FROM toks
+    ), sums AS (
+      SELECT doc_id, {sums} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
+    """
+
+
+@_q("text_simhash", _simhash_sql())
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (operators/dedupe.simhash)."""
+    from .operators import dedupe as _dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    return _dedupe.simhash(docs, bits=_SIMHASH_BITS)
+
+
+def _sh_pairs_sql() -> str:
+    base = _simhash_sql()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 4}) & 15 AS bv FROM sim"
+        for b in range(4)
+    )
+    return f"""
+    WITH sim AS ({base}),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@_q("text_simhash_pairs", _sh_pairs_sql())
+def text_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup candidates with exact hamming verify."""
+    from .operators import dedupe as _dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    sim = _dedupe.simhash(docs, bits=_SIMHASH_BITS)
+    out = _dedupe.simhash_near_dupes(sim, bits=_SIMHASH_BITS, bands=4, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _jaccard_sql() -> str:
+    sig_min = ",\n             ".join(
+        f"min({portable_hash64_sql('s.sh', f'mh{i}')}) AS h{i}" for i in range(8)
+    )
+    band_rows = []
+    for b in range(4):
+        bh = "0::BIGINT"
+        for r in range(2):
+            bh = f"(({bh}) * 1000003 + (h{b * 2 + r} % 1000000007)) % 1000000007"
+        band_rows.append(f"SELECT doc_id, {b} AS band, {bh} AS bh FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t WHERE len(toks) >= 3
+    ), s AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sig AS (SELECT doc_id, {sig_min} FROM s GROUP BY doc_id),
+    bands AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS n_inter
+      FROM pairs p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           round(coalesce(i.n_inter, 0) / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes za ON za.doc_id = p.id_a
+    JOIN sizes zb ON zb.doc_id = p.id_b
+    """
+
+
+@_q("text_jaccard_verify", _jaccard_sql())
+def text_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact n-gram Jaccard verification
+    (operators/dedupe.lsh_candidate_pairs + jaccard_verify)."""
+    from .operators import dedupe as _dedupe
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = _dedupe.shingle_set(docs)
+    sig = _dedupe.minhash_signatures(sh, num_hashes=8)
+    pairs = _dedupe.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    return _dedupe.jaccard_verify(sh, pairs)
+
+
+@_q("embed_ann_lsh")  # rows-only: matmul signatures are not SQL-expressible
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane ANN (operators/similarity.ann_topk);
+    recall vs the exact baseline asserted in tests."""
+    from .operators import similarity as _similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _similarity.ann_topk(queries, emb, k=3, bits_per_table=4, n_tables=16)
+
+
+@_q("tile_mvt_stats")  # rows-only: protobuf bytes are not SQL-expressible
+def tile_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized MVT tile table stats at z13 (operators/tiles):
+    deterministic per-tile content hashes."""
+    from .operators import tiles as _tiles
+
+    pts = _doc_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    px = _tiles.point_tile_px(pts, z=13)
+    return _tiles.encode_point_mvt(px).select(
+        "z", "tx", "ty", "n_features", "size_bytes", "content_hash"
+    )
+
+
+_GRID_LON_SQL = "(-120.0 + ((p_partkey * 37) % 500)::DOUBLE * 0.0005)"
+_GRID_LAT_SQL = "(46.0 + ((p_partkey * 91) % 500)::DOUBLE * 0.0005)"
+_EXTRACT_BBOX = (-120.0, 46.0, -119.9, 46.1)
+
+
+def _grid_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        (F.lit(-120.0) + ((F.col("p_partkey") * 37) % 500).cast("double") * 0.0005).alias("lon"),
+        (F.lit(46.0) + ((F.col("p_partkey") * 91) % 500).cast("double") * 0.0005).alias("lat"),
+    )
+
+
+def _li_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("id"))
+        .agg(F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))).alias("s"))
+        .select("id", F.col("s.l_partkey").alias("refs"),
+                F.create_map(F.lit("highway"), F.lit("x")).alias("tags"))
+    )
+
+
+_EXTRACT_ORACLE_BASE = f"""
+    WITH nodes AS (
+      SELECT p_partkey AS id, {_GRID_LON_SQL} AS lon, {_GRID_LAT_SQL} AS lat FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_linenumber AS seq, l_partkey AS ref FROM lineitem
+    ),
+    inside AS (
+      SELECT id FROM nodes
+      WHERE lon >= {_EXTRACT_BBOX[0]} AND lon <= {_EXTRACT_BBOX[2]}
+        AND lat >= {_EXTRACT_BBOX[1]} AND lat <= {_EXTRACT_BBOX[3]}
+    )
+"""
+
+
+@_q(
+    "osm_extract_simple",
+    _EXTRACT_ORACLE_BASE + """
+    SELECT r.way_id,
+           (row_number() OVER (PARTITION BY r.way_id ORDER BY r.seq, r.ref) - 1)::INT AS seq,
+           r.ref
+    FROM refs r JOIN inside i ON r.ref = i.id
+    """,
+)
+def osm_extract_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 simple strategy: ways keep only inside refs (exploded output for
+    scalar-column hashing)."""
+    from .operators import extract as _extract
+
+    nodes = _grid_nodes(spark, sf_dir)
+    ways = _li_ways(spark, sf_dir)
+    _n, w = _extract.extract(nodes, ways, *_EXTRACT_BBOX, strategy="simple")
+    return w.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("seq", "ref")
+    )
+
+
+@_q(
+    "osm_extract_complete_ways",
+    _EXTRACT_ORACLE_BASE + """
+    , touched AS (SELECT DISTINCT way_id FROM refs JOIN inside ON refs.ref = inside.id)
+    , kept_nodes AS (
+      SELECT id FROM inside
+      UNION
+      SELECT DISTINCT r.ref FROM refs r JOIN touched t ON r.way_id = t.way_id
+    )
+    SELECT n.id, round(n.lon, 6) AS lon, round(n.lat, 6) AS lat
+    FROM nodes n JOIN kept_nodes k ON n.id = k.id
+    """,
+)
+def osm_extract_complete_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 complete_ways: outside nodes of touched ways pulled back in."""
+    from .operators import extract as _extract
+
+    nodes = _grid_nodes(spark, sf_dir)
+    ways = _li_ways(spark, sf_dir)
+    n, _w = _extract.extract(nodes, ways, *_EXTRACT_BBOX, strategy="complete_ways")
+    return n.select("id", F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"))
+
+
+@_q(
+    "osm_relation_resolution",
+    """
+    WITH members AS (
+      SELECT n_nationkey::BIGINT AS relation_id, 'node' AS member_type,
+             (n_nationkey * 10)::BIGINT AS member_ref FROM nation
+      UNION ALL
+      SELECT n_nationkey::BIGINT, 'way', (n_nationkey * 100)::BIGINT
+      FROM nation WHERE n_nationkey % 2 = 0
+      UNION ALL
+      SELECT n_nationkey::BIGINT, 'relation', (n_nationkey + 1)::BIGINT
+      FROM nation WHERE n_nationkey % 5 = 0
+    ),
+    RECURSIVE_expanded AS (
+      SELECT relation_id, member_type, member_ref FROM members WHERE member_type <> 'relation'
+      UNION
+      SELECT m.relation_id, c.member_type, c.member_ref
+      FROM members m
+      JOIN members c ON m.member_type = 'relation' AND c.relation_id = m.member_ref
+      WHERE c.member_type <> 'relation'
+      UNION
+      SELECT m.relation_id, g.member_type, g.member_ref
+      FROM members m
+      JOIN members c ON m.member_type = 'relation' AND c.relation_id = m.member_ref
+      JOIN members g ON c.member_type = 'relation' AND g.relation_id = c.member_ref
+      WHERE g.member_type <> 'relation'
+    )
+    SELECT DISTINCT relation_id, member_type, member_ref FROM RECURSIVE_expanded
+    """,
+)
+def osm_relation_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: nested relation members resolved to node/way descendants
+    (nesting depth <= 2 in this layer; operator bounds at 10)."""
+    from .operators import extract as _extract
+
+    nation = _t(spark, sf_dir, "nation")
+    members = (
+        nation.select(
+            F.col("n_nationkey").cast("long").alias("relation_id"),
+            F.lit("node").alias("member_type"),
+            (F.col("n_nationkey") * 10).cast("long").alias("member_ref"),
+            F.lit("").alias("role"),
+        )
+        .unionByName(
+            nation.filter(F.col("n_nationkey") % 2 == 0).select(
+                F.col("n_nationkey").cast("long").alias("relation_id"),
+                F.lit("way").alias("member_type"),
+                (F.col("n_nationkey") * 100).cast("long").alias("member_ref"),
+                F.lit("").alias("role"),
+            )
+        )
+        .unionByName(
+            nation.filter(F.col("n_nationkey") % 5 == 0).select(
+                F.col("n_nationkey").cast("long").alias("relation_id"),
+                F.lit("relation").alias("member_type"),
+                (F.col("n_nationkey") + 1).cast("long").alias("member_ref"),
+                F.lit("").alias("role"),
+            )
+        )
+    )
+    return _extract.resolve_relation_members(members)
+
+
+@_q(
+    "multimodal_stats",
+    """
+    WITH media AS (
+      SELECT p_partkey AS media_id,
+             CASE p_partkey % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             'payload-' || p_partkey::VARCHAR || '-' || md5(p_partkey::VARCHAR) AS payload
+      FROM part
+    )
+    SELECT kind, count(*)::BIGINT AS n, sum(length(payload))::BIGINT AS total_bytes
+    FROM media GROUP BY kind
+    """,
+)
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata aggregation: binary payload column pruned out of
+    the scan (operators/multimodal.media_stats)."""
+    from .operators import multimodal as _mm
+
+    part = _t(spark, sf_dir, "part")
+    media = part.select(
+        F.col("p_partkey").alias("media_id"),
+        F.element_at(
+            F.lit(["image", "audio", "video"]), (F.col("p_partkey") % 3 + 1).cast("int")
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(
+            F.concat(F.lit("payload-"), F.col("p_partkey").cast("string"),
+                     F.lit("-"), F.md5(F.col("p_partkey").cast("string"))),
+            "utf-8",
+        ).alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    out = _mm.media_stats(media)
+    return out.select("kind", F.col("n").cast("long").alias("n"),
+                      F.col("total_bytes").cast("long").alias("total_bytes"))
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session windows via lag + cumulative sum
+    (the batch shape of a session-window streaming agg)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    sess = marked.withColumn("session_id", F.sum("new_session").over(wc))
+    return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events")).select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"), "n_events"
+    )
+
+
+_RJ_SQL = f"""
+    WITH centers AS (
+      SELECT n_nationkey,
+             ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) AS clon,
+             ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) AS clat
+      FROM nation
+    )
+    SELECT c.n_nationkey, count(*)::BIGINT AS n_within
+    FROM centers c JOIN documents d
+      ON {_hav_sql("c.clon", "c.clat", DOC_LON_SQL, DOC_LAT_SQL)} <= 3000.0
+    GROUP BY c.n_nationkey
+"""
+
+
+@_q("geo_radius_join_agg", _RJ_SQL)
+def geo_radius_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 join form: per-center counts of points within 3 km via the
+    cell-pruned radius join (oracle: brute-force distance join)."""
+    cid = F.col("n_nationkey") % synth.NUM_CLUSTERS
+    centers = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.lit(synth.CENTROID_LON) + cid.cast("double") * synth.CLUSTER_STEP_LON).alias("lon"),
+        (F.lit(synth.CENTROID_LAT) + (cid % 3).cast("double") * synth.CLUSTER_STEP_LAT).alias("lat"),
+    )
+    pts = _doc_points(spark, sf_dir)
+    joined = spatial.radius_join(
+        centers, pts, radius_m=3000.0, lat_hint=synth.CENTROID_LAT
+    )
+    return joined.groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("n_within"))

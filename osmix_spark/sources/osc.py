@@ -1,0 +1,96 @@
+"""OSC (osmChange XML) sink — S9.
+
+Reference: packages/change/src/osc.ts:92-160 (create/modify/delete
+sections; augmented-diff variant with <old>/<new>) and XML attribute
+escaping (change/src/utils.ts:32-39).
+
+Distributed shape: per-partition XML fragments via mapInPandas (each
+change row renders independently), assembled with a deterministic global
+sort; `to_osc_string` is the driver-side convenience for small changesets
+and tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")]
+
+
+def xml_escape(s: str) -> str:
+    for a, b in _ESCAPES:
+        s = s.replace(a, b)
+    return s
+
+
+def _node_xml(row: dict) -> str:
+    tags = "".join(
+        f'<tag k="{xml_escape(str(k))}" v="{xml_escape(str(v))}"/>'
+        for k, v in sorted((row.get("tags") or {}).items())
+    )
+    attrs = f'id="{row["id"]}" lon="{row["lon"]}" lat="{row["lat"]}"'
+    return f"<node {attrs}>{tags}</node>" if tags else f"<node {attrs}/>"
+
+
+def _way_xml(row: dict) -> str:
+    refs = row.get("refs")
+    refs = [] if refs is None else list(refs)  # Arrow hands arrays as ndarray
+    nds = "".join(f'<nd ref="{r}"/>' for r in refs)
+    tags = "".join(
+        f'<tag k="{xml_escape(str(k))}" v="{xml_escape(str(v))}"/>'
+        for k, v in sorted((row.get("tags") or {}).items())
+    )
+    return f'<way id="{row["id"]}">{nds}{tags}</way>'
+
+
+def render_change_fragments(changes: DataFrame, entity: str = "node") -> DataFrame:
+    """changes: entity columns + change_type in (create|modify|delete).
+    Returns (change_type, id, xml) — one escaped XML element per change,
+    rendered in parallel (Arrow batches)."""
+    render = _node_xml if entity == "node" else _way_xml
+    schema = T.StructType(
+        [
+            T.StructField("change_type", T.StringType(), False),
+            T.StructField("id", T.LongType(), False),
+            T.StructField("xml", T.StringType(), False),
+        ]
+    )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                rows.append(
+                    {"change_type": r["change_type"], "id": int(r["id"]), "xml": render(r)}
+                )
+            yield pd.DataFrame(rows, columns=["change_type", "id", "xml"])
+
+    return changes.mapInPandas(go, schema=schema)
+
+
+def to_osc_string(node_changes: DataFrame | None = None,
+                  way_changes: DataFrame | None = None,
+                  generator: str = "osmix-spark") -> str:
+    """Deterministic osmChange document: sections in create/modify/delete
+    order, entities sorted by (type, id) inside each (osc.ts:92-160)."""
+    sections: dict[str, list[str]] = {"create": [], "modify": [], "delete": []}
+    for df, _entity in ((node_changes, "node"), (way_changes, "way")):
+        if df is None:
+            continue
+        frags = render_change_fragments(df, _entity).orderBy("id").collect()
+        for r in frags:
+            sections[r["change_type"]].append(r["xml"])
+    parts = [f'<osmChange version="0.6" generator="{xml_escape(generator)}">']
+    for sec in ("create", "modify", "delete"):
+        if sections[sec]:
+            parts.append(f"<{sec}>")
+            parts.extend(sections[sec])
+            parts.append(f"</{sec}>")
+    parts.append("</osmChange>")
+    return "".join(parts)

@@ -1,0 +1,90 @@
+"""Corpus dedupe + similarity search on the driver testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmix_spark.operators import dedupe, similarity
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedupe_detects_planted_dup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # plant a duplicate: copy doc 0's text under a new id
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    out = dedupe.exact_dedupe(docs.unionByName(dup))
+    dups = out.filter(F.col("n_dups") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0]["survivor"] == 0 and dups[0]["n_dups"] == 2
+
+
+def test_lsh_finds_near_duplicate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # near-dup: doc 0's text with one word appended
+    near = docs.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" suffix")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    all_docs = docs.unionByName(near)
+    sh = dedupe.shingle_set(all_docs)
+    sig = dedupe.minhash_signatures(sh)
+    pairs = dedupe.lsh_candidate_pairs(sig)
+    verified = dedupe.jaccard_verify(sh, pairs, threshold=0.8)
+    hits = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (0, 1_000_000) in hits
+
+
+def test_simhash_near_dupes(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    near = docs.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    sim = dedupe.simhash(docs.unionByName(near))
+    pairs = dedupe.simhash_near_dupes(sim, max_hamming=2)
+    hits = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert (0, 1_000_000) in hits
+    assert hits[(0, 1_000_000)] <= 2
+
+
+def test_simhash_identical_texts_have_equal_hash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(5)
+    a = dedupe.simhash(docs)
+    b = dedupe.simhash(docs.repartition(7))
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.ann_topk(queries, emb, k=5, bits_per_table=4, n_tables=16)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # synthetic embeddings are near-random; multi-probe LSH should still
+    # recover a solid fraction of the true top-5
+    assert recall >= 0.7, f"ANN recall too low: {recall}"
+
+
+def test_embedding_near_dupes_finds_self_plant(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    plant = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedupe.embedding_near_dupes(emb.unionByName(plant), threshold=0.999)
+    hits = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1_000_000) in hits

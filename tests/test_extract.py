@@ -1,0 +1,91 @@
+"""Extract strategies (J12) + relation resolution (J11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmix_spark.operators import extract
+from osmix_spark.sources import fixtures
+
+BBOX = (-0.0005, -0.0005, 0.0025, 0.0015)  # covers nodes at x in [0, 0.002]
+
+
+def _layer(spark):
+    nodes = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, None),
+            (2, 0.001, 0.001, None),
+            (3, 0.002, 0.0, None),
+            (4, 0.010, 0.0, None),   # outside
+            (5, 0.011, 0.001, None),  # outside
+        ],
+        fixtures.NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (10, [1, 2, 3], {"highway": "a"}),   # fully inside
+            (11, [3, 4], {"highway": "b"}),      # straddles
+            (12, [4, 5], {"highway": "c"}),      # fully outside
+        ],
+        fixtures.WAY_SCHEMA,
+    )
+    return nodes, ways
+
+
+def test_simple_extract(spark):
+    nodes, ways = _layer(spark)
+    n, w = extract.extract(nodes, ways, *BBOX, strategy="simple")
+    assert {r["id"] for r in n.collect()} == {1, 2, 3}
+    got = {r["id"]: r["refs"] for r in w.collect()}
+    assert got == {10: [1, 2, 3], 11: [3]}  # way 11 cut to inside refs; 12 dropped
+
+
+def test_complete_ways_extract(spark):
+    nodes, ways = _layer(spark)
+    n, w = extract.extract(nodes, ways, *BBOX, strategy="complete_ways")
+    # way 11 pulled whole -> node 4 added back
+    assert {r["id"] for r in n.collect()} == {1, 2, 3, 4}
+    got = {r["id"]: r["refs"] for r in w.collect()}
+    assert got == {10: [1, 2, 3], 11: [3, 4]}
+
+
+def test_smart_extract_multipolygon(spark):
+    nodes, ways = _layer(spark)
+    relations = spark.createDataFrame(
+        [(100, {"type": "multipolygon"})], "id long, tags map<string,string>"
+    )
+    members = spark.createDataFrame(
+        [(100, "way", 11, "outer"), (100, "way", 12, "inner")],
+        "relation_id long, member_type string, member_ref long, role string",
+    )
+    n, w, r = extract.extract(
+        nodes, ways, *BBOX, strategy="smart",
+        relations=relations, relation_members=members,
+    )
+    # way 12 pulled in via the multipolygon; its nodes 4,5 added
+    assert {x["id"] for x in w.collect()} == {10, 11, 12}
+    assert {x["id"] for x in n.collect()} == {1, 2, 3, 4, 5}
+    assert {x["id"] for x in r.collect()} == {100}
+
+
+def test_resolve_relation_members_bounded(spark):
+    members = spark.createDataFrame(
+        [
+            (1, "relation", 2, ""),
+            (1, "node", 100, ""),
+            (2, "relation", 3, ""),
+            (2, "way", 200, ""),
+            (3, "node", 300, ""),
+            # cycle: 3 -> 1 must not loop forever
+            (3, "relation", 1, ""),
+        ],
+        "relation_id long, member_type string, member_ref long, role string",
+    )
+    out = extract.resolve_relation_members(members)
+    got = {(r["relation_id"], r["member_type"], r["member_ref"]) for r in out.collect()}
+    assert (1, "node", 100) in got
+    assert (1, "way", 200) in got     # via relation 2
+    assert (1, "node", 300) in got    # via 2 -> 3
+    assert (2, "node", 300) in got
+    # cycle resolved without hanging; relation-typed rows never emitted
+    assert all(t != "relation" for _, t, _ in got)
