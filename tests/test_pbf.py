@@ -1,0 +1,88 @@
+"""OSM PBF round-trip (the reference's write->read->compare regression,
+packages/load/test/pbf-regression.test.ts): write the mock fixture + a
+synthetic layer to PBF, read it back distributed, compare exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmix_spark.sources import fixtures, pbf, synth
+
+
+def _norm_nodes(df):
+    return {
+        (r["id"], round(r["lon"], 7), round(r["lat"], 7), tuple(sorted((r["tags"] or {}).items())))
+        for r in df.collect()
+    }
+
+
+def test_roundtrip_mock_fixture(spark, tmp_path):
+    path = str(tmp_path / "mock.pbf")
+    nodes = fixtures.patch_nodes(spark)
+    ways = fixtures.patch_ways(spark)
+    rels = spark.createDataFrame(
+        [(50, ["way", "node"], [1, 2], ["outer", ""], {"type": "multipolygon"})],
+        pbf.REL_SCHEMA,
+    )
+    pbf.write_pbf(path, nodes, ways, rels, bbox=(-121.0, 46.0, -120.0, 47.0))
+
+    out = pbf.read_pbf(spark, path)
+    assert _norm_nodes(out["nodes"]) == _norm_nodes(nodes)
+    got_w = {r["id"]: (list(r["refs"]), r["tags"]) for r in out["ways"].collect()}
+    exp_w = {r["id"]: (list(r["refs"]), r["tags"]) for r in ways.collect()}
+    assert got_w == exp_w
+    got_r = out["relations"].collect()[0]
+    assert got_r["id"] == 50
+    assert list(got_r["member_types"]) == ["way", "node"]
+    assert list(got_r["member_refs"]) == [1, 2]
+    assert list(got_r["member_roles"]) == ["outer", ""]
+    assert got_r["tags"] == {"type": "multipolygon"}
+
+
+def test_header_peek(spark, tmp_path):
+    path = str(tmp_path / "h.pbf")
+    pbf.write_pbf(path, fixtures.base_nodes(spark), bbox=(-121.0, 46.0, -120.0, 47.0))
+    h = pbf.read_header(path)
+    assert "OsmSchema-V0.6" in h["required_features"]
+    assert "DenseNodes" in h["required_features"]
+    assert h["writing_program"] == "osmix-spark"
+    assert h["bbox"] == [-121.0, 46.0, -120.0, 47.0]
+
+
+def test_roundtrip_multiblock_sorted(spark, tmp_path):
+    """> 8,000 nodes forces multiple blocks; export is globally id-sorted."""
+    path = str(tmp_path / "big.pbf")
+    n = 20_000
+    nodes = (
+        spark.range(n)
+        .repartition(8)
+        .select(
+            F.col("id"),
+            synth.clustered_lon("id").alias("lon"),
+            synth.clustered_lat("id").alias("lat"),
+            F.when(F.col("id") % 100 == 0, F.create_map(F.lit("k"), F.lit("v"))).alias("tags"),
+        )
+    )
+    pbf.write_pbf(path, nodes)
+    blobs = pbf.index_blobs(path)
+    assert sum(1 for _o, _l, t in blobs if t == "OSMData") >= 3
+
+    out = pbf.read_pbf(spark, path)["nodes"]
+    assert out.count() == n
+    assert _norm_nodes(out) == _norm_nodes(nodes)
+    # block-level id ordering: first ids of consecutive data blobs ascend
+    firsts = []
+    with open(path, "rb") as f:
+        data = f.read()
+    for o, ln, t in blobs:
+        if t == "OSMData":
+            firsts.append(pbf._first_id_of_blob(data[o : o + ln], "node"))
+    assert firsts == sorted(firsts)
+
+
+def test_write_is_deterministic(spark, tmp_path):
+    p1, p2 = str(tmp_path / "a.pbf"), str(tmp_path / "b.pbf")
+    nodes = fixtures.patch_nodes(spark)
+    pbf.write_pbf(p1, nodes.repartition(1))
+    pbf.write_pbf(p2, nodes.repartition(5))
+    assert open(p1, "rb").read() == open(p2, "rb").read()
