@@ -1,0 +1,103 @@
+"""The full merge pipeline (SURVEY §3.2): the reference's 7-stage
+merge() (packages/change/src/merge.ts:43-110) as one orchestrated function,
+each stage a DataFrame job with an optional lineage checkpoint
+(plans/lineage) for resumable re-runs.
+
+Stages:
+  1-2. dedupe ways / nodes in base
+  3-4. dedupe ways / nodes in patch
+  5.   direct merge patch over base (ways first, then nodes —
+       changeset.ts:722-731 order)
+  6.   final dedupe of the merged result
+  7.   intersection creation for crossing ways (J10)
+
+Every stage's output is deterministic at any parallelism, so a lineage
+manifest from one run certifies a re-run bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans import lineage
+from . import intersect, merge
+
+
+def _dedupe_round(nodes: DataFrame, ways: DataFrame):
+    """Way dedupe then node dedupe, refs rewritten (merge.ts stage order)."""
+    way_repl = merge.dedupe_ways(ways, nodes)
+    ways = ways.join(way_repl.select(F.col("from_id").alias("id")), "id", "left_anti")
+    node_repl = merge.dedupe_nodes(nodes)
+    ways = merge.rewrite_way_refs(ways, node_repl)
+    nodes = nodes.join(node_repl.select(F.col("from_id").alias("id")), "id", "left_anti")
+    return nodes, ways
+
+
+def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
+                   patch_nodes: DataFrame, patch_ways: DataFrame,
+                   create_intersections: bool = True,
+                   checkpoint_dir: str | None = None):
+    """-> (nodes, ways, stats). With checkpoint_dir set, each stage is a
+    lineage-verified checkpoint (resume_or_run semantics)."""
+    spark = base_nodes.sparkSession
+    stats: dict = {}
+
+    def ckpt(df: DataFrame, name: str, key: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df
+        return lineage.resume_or_run(
+            spark, os.path.join(checkpoint_dir, name), stage=name, key=key,
+            build=lambda: df,
+        )
+
+    # stages 1-4: per-dataset dedupe
+    b_nodes, b_ways = _dedupe_round(base_nodes, base_ways)
+    p_nodes, p_ways = _dedupe_round(patch_nodes, patch_ways)
+    b_nodes = ckpt(b_nodes, "base_nodes_deduped", "id")
+    p_nodes = ckpt(p_nodes, "patch_nodes_deduped", "id")
+
+    # stage 5: direct merge — ways first improves node-dedupe accuracy
+    # (changeset.ts:722-731)
+    ways = merge.direct_merge(b_ways, p_ways)
+    nodes = merge.direct_merge(b_nodes, p_nodes)
+    stats["merged_nodes"] = nodes.count()
+    stats["merged_ways"] = ways.count()
+
+    # stage 6: final dedupe across the merged result
+    node_repl = merge.dedupe_nodes(nodes)
+    stats["deduplicated_nodes"] = node_repl.count()
+    ways = merge.rewrite_way_refs(ways, node_repl)
+    nodes = nodes.join(node_repl.select(F.col("from_id").alias("id")), "id", "left_anti")
+    nodes = ckpt(nodes, "merged_nodes", "id")
+
+    # stage 7: intersections
+    if create_intersections:
+        new_nodes, ways, tagged, istats = intersect.create_intersections(ways, nodes)
+        stats.update(istats)
+        # created nodes join the dataset; reused/shared nodes gain the tag
+        nodes = nodes.unionByName(new_nodes)
+        tagged_ids = tagged.withColumnRenamed("id", "__tid")
+        nodes = (
+            nodes.join(tagged_ids, nodes.id == F.col("__tid"), "left")
+            .withColumn(
+                "tags",
+                F.when(
+                    F.col("__tid").isNotNull()
+                    # don't re-add on nodes already tagged (map_concat would
+                    # reject the duplicate key) — changeset.ts:615-618 guard
+                    & (F.coalesce(F.element_at(F.col("tags"), F.lit("crossing")), F.lit(""))
+                       != "yes"),
+                    F.map_concat(
+                        F.coalesce(F.col("tags"), F.expr("map()")),
+                        F.create_map(F.lit("crossing"), F.lit("yes")),
+                    ),
+                ).otherwise(F.col("tags")),
+            )
+            .drop("__tid")
+        )
+    stats["final_nodes"] = nodes.count()
+    stats["final_ways"] = ways.count()
+    return nodes, ways, stats

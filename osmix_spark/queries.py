@@ -1240,3 +1240,55 @@ def geo_radius_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         centers, pts, radius_m=3000.0, lat_hint=synth.CENTROID_LAT
     )
     return joined.groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("n_within"))
+
+
+# --- shortbread layer classification (T3) -----------------------------------
+
+def _shortbread_sql() -> str:
+    from .operators.shortbread import classify_sql
+
+    # synthetic tags per doc: key cycles through the schema's main keys
+    return f"""
+    WITH tagged AS (
+      SELECT doc_id,
+             map([CASE doc_id % 8 WHEN 0 THEN 'building' WHEN 1 THEN 'natural'
+                   WHEN 2 THEN 'highway' WHEN 3 THEN 'amenity' WHEN 4 THEN 'place'
+                   WHEN 5 THEN 'boundary' WHEN 6 THEN 'landuse' ELSE 'other' END],
+                 [CASE doc_id % 8 WHEN 0 THEN 'house' WHEN 1 THEN 'water'
+                   WHEN 2 THEN 'primary' WHEN 3 THEN 'cafe' WHEN 4 THEN 'town'
+                   WHEN 5 THEN 'administrative' WHEN 6 THEN 'forest' ELSE 'x' END]) AS tags
+      FROM documents
+    )
+    SELECT doc_id, {classify_sql('tags')} AS layer FROM tagged
+    """
+
+
+@_q("shortbread_classify", _shortbread_sql())
+def shortbread_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: shortbread tag->layer classification as one CASE expression
+    (operators/shortbread.classify)."""
+    from .operators.shortbread import classify
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (
+        F.when(F.col("doc_id") % 8 == 0, "building")
+        .when(F.col("doc_id") % 8 == 1, "natural")
+        .when(F.col("doc_id") % 8 == 2, "highway")
+        .when(F.col("doc_id") % 8 == 3, "amenity")
+        .when(F.col("doc_id") % 8 == 4, "place")
+        .when(F.col("doc_id") % 8 == 5, "boundary")
+        .when(F.col("doc_id") % 8 == 6, "landuse")
+        .otherwise("other")
+    )
+    val = (
+        F.when(F.col("doc_id") % 8 == 0, "house")
+        .when(F.col("doc_id") % 8 == 1, "water")
+        .when(F.col("doc_id") % 8 == 2, "primary")
+        .when(F.col("doc_id") % 8 == 3, "cafe")
+        .when(F.col("doc_id") % 8 == 4, "town")
+        .when(F.col("doc_id") % 8 == 5, "administrative")
+        .when(F.col("doc_id") % 8 == 6, "forest")
+        .otherwise("x")
+    )
+    tagged = docs.select("doc_id", F.map_from_arrays(F.array(key), F.array(val)).alias("tags"))
+    return tagged.select("doc_id", classify(F.col("tags")).alias("layer"))
