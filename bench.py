@@ -87,7 +87,11 @@ def main() -> None:
         "osm_merge_lww",
         "text_minhash",
         "text_lsh_pairs",
+        "text_simhash",
         "embed_cosine_topk",
+        "tile_mvt_stats",
+        "osm_extract_simple",
+        "shortbread_classify",
     ]
     timings: dict[str, float] = {}
 

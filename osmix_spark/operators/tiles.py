@@ -205,3 +205,41 @@ def render_point_raster(points_px: DataFrame, id_col: str = "id",
         .groupBy("z", "tx", "ty")
         .applyInPandas(render, schema=RASTER_SCHEMA)
     )
+
+
+def render_line_raster(ways_px: DataFrame, tile_size: int = 256,
+                       rgba: tuple[int, int, int, int] = (40, 40, 40, 255)) -> DataFrame:
+    """Rasterize way polylines per tile (raster-tile.ts line path): each
+    segment is sampled at max(|dx|,|dy|)+1 evenly-spaced points (NumPy
+    linspace — the vectorized stand-in for Bresenham; identical pixel sets
+    for the axis-aligned and 45-degree cases, superset otherwise).
+
+    ways_px: (z, tx, ty, way_id, pxs array<int>, pys array<int>) in extent
+    space (see encode_way_mvt).
+    """
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
+        scale = tile_size / mvt.EXTENT
+        for row in pdf.sort_values("way_id").itertuples(index=False):
+            xs = np.asarray(row.pxs, dtype=np.float64) * scale
+            ys = np.asarray(row.pys, dtype=np.float64) * scale
+            for i in range(len(xs) - 1):
+                n = int(max(abs(xs[i + 1] - xs[i]), abs(ys[i + 1] - ys[i]))) + 1
+                px = np.linspace(xs[i], xs[i + 1], n).round().astype(int)
+                py = np.linspace(ys[i], ys[i + 1], n).round().astype(int)
+                ok = (px >= 0) & (px < tile_size) & (py >= 0) & (py < tile_size)
+                img[py[ok], px[ok]] = rgba
+        png = _write_png_rgba(img)
+        h = int.from_bytes(hashlib.md5(png).digest()[:8], "big") >> 1
+        return pd.DataFrame(
+            [{"z": z, "tx": tx, "ty": ty, "n_features": len(pdf),
+              "content_hash": h, "png": png}]
+        )
+
+    return ways_px.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)

@@ -93,3 +93,26 @@ def test_raster_png_valid(spark):
     assert len(raw) == 256 * (1 + 256 * 4)
     # at least one non-transparent pixel
     assert any(raw[i] for i in range(len(raw)))
+
+
+def test_raster_lines(spark):
+    import zlib as _zlib
+
+    ways = spark.createDataFrame(
+        [(12, 100, 200, 1, [0, 4096], [0, 4096]),       # diagonal
+         (12, 100, 200, 2, [0, 4096], [2048, 2048])],    # horizontal
+        "z int, tx long, ty long, way_id long, pxs array<int>, pys array<int>",
+    )
+    row = tiles.render_line_raster(ways).collect()[0]
+    png = bytes(row["png"])
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = int.from_bytes(png[idat_start - 8 : idat_start - 4], "big")
+    raw = _zlib.decompress(png[idat_start : idat_start + idat_len])
+    stride = 1 + 256 * 4
+    # the diagonal hits (i, i); the horizontal row 128 is fully drawn
+    def px(x, y):
+        o = y * stride + 1 + x * 4
+        return raw[o : o + 4]
+    assert px(10, 10) != b"\x00\x00\x00\x00"
+    assert all(px(x, 128) != b"\x00\x00\x00\x00" for x in range(0, 256, 16))
+    assert px(5, 200) == b"\x00\x00\x00\x00"

@@ -86,9 +86,10 @@ def job():
 n_pages = pages.count()
 job()  # warm codegen/JIT
 times = []
-for _ in range(3):
+for _ in range(5):
     t0 = time.time(); job(); times.append(time.time() - t0)
-best = min(times)
+times_sorted = sorted(times)
+best = times_sorted[len(times_sorted) // 2]  # median: robust to bg noise
 print(json.dumps({{"cores": cores, "n_pages": n_pages, "sec": round(best, 3),
                    "rows_per_sec": round(n_pages / best, 1), "times": [round(t,3) for t in times]}}))
 spark.stop()
@@ -114,15 +115,23 @@ def main() -> None:
     out_path = os.environ.get("SPARK_GRAFT_PAGES_PATH", "/tmp/osmix_scaling_pages.parquet")
     prep = PREP.format(repo=REPO, replicate=replicate, sf_dir=sf_dir, out_path=out_path)
     subprocess.run([sys.executable, "-c", prep], check=True, capture_output=True, timeout=900)
-    lo = run_level(n, sf_dir, out_path)
-    hi = run_level(4 * n, sf_dir, out_path)
-    eff = hi["rows_per_sec"] / (4 * lo["rows_per_sec"])
+    # interleave lo/hi pairs so both levels sample the same background
+    # noise; report the median-efficiency pair (shared-host variance was
+    # observed at +-20% between back-to-back runs)
+    pairs = []
+    for _ in range(3):
+        lo_i = run_level(n, sf_dir, out_path)
+        hi_i = run_level(4 * n, sf_dir, out_path)
+        pairs.append((hi_i["rows_per_sec"] / (4 * lo_i["rows_per_sec"]), lo_i, hi_i))
+    pairs.sort(key=lambda x: x[0])
+    eff, lo, hi = pairs[len(pairs) // 2]
     result = {
         "job": "flagship pages geocode + cell assign + spatial join + tile agg",
         "input_pages": lo["n_pages"],
         "sf_dir": sf_dir,
         "low": lo,
         "high": hi,
+        "all_efficiencies": [round(e, 3) for e, _l, _h in pairs],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
@@ -139,7 +148,7 @@ a multi-executor `spark-submit --py-files` run.
 Job: pages geocoded (deterministic synthetic coordinates) -> Web-Mercator
 cell assignment (z14) -> spatial equi-join vs broadcast node layer ->
 per-tile aggregation. Input: {lo['n_pages']:,} pages derived from
-{sf_dir}/lineitem.parquet (best of 3 timed runs after warmup).
+{sf_dir}/lineitem.parquet (median of 5 timed runs after warmup).
 
 | parallelism | wall (s) | pages/sec |
 |---|---|---|
@@ -149,7 +158,10 @@ per-tile aggregation. Input: {lo['n_pages']:,} pages derived from
 **Scaling efficiency** = (pages/sec at {4*n}) / (4 x pages/sec at {n})
 = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 
-Raw timings: local[{n}] {lo['times']}, local[{4*n}] {hi['times']}.
+Raw timings (median pair): local[{n}] {lo['times']}, local[{4*n}]
+{hi['times']}. Efficiency across the 3 interleaved pairs:
+{result['all_efficiencies']} (median reported; the sandbox host has
+noisy-neighbor variance, so pairs are measured back-to-back).
 
 Reproduce: `python tools/scaling_bench.py {n} {replicate} {sf_dir}`
 """
