@@ -40,6 +40,16 @@ def ensure_winding(coords: list[tuple[float, float]], clockwise: bool) -> list:
     return coords if ccw == want_ccw else list(reversed(coords))
 
 
+def canonical_ring(coords: list[tuple[float, float]]) -> list:
+    """Rotate a closed ring so the lexicographically smallest vertex is
+    first — makes assembled rings independent of which member way started
+    the chain (and therefore of partition/group iteration order)."""
+    body = coords[:-1]
+    k = min(range(len(body)), key=lambda i: body[i])
+    rotated = body[k:] + body[:k]
+    return rotated + [rotated[0]]
+
+
 def connect_ways_to_rings(ways: list[list[tuple[float, float]]]) -> list[list]:
     """Greedy end-to-start chaining (relation-multipolygon.ts:47-163):
     repeatedly extend an open chain with any way whose endpoint matches
@@ -105,13 +115,15 @@ def assemble_relation_rings(members: DataFrame, ways: DataFrame,
         rid = int(key[0])
         out_rows = []
         for role in ("outer", "inner"):
-            group = pdf[pdf["role"] == role]
+            # sort member ways by id so chaining order (and thus which way
+            # seeds each ring) is deterministic at any parallelism
+            group = pdf[pdf["role"] == role].sort_values("way_id")
             ways_c = [
                 list(zip(r.lons, r.lats)) for r in group.itertuples(index=False)
             ]
             rings = connect_ways_to_rings(ways_c)
             for ring in rings:
-                ring = ensure_winding(ring, clockwise=(role == "inner"))
+                ring = canonical_ring(ensure_winding(ring, clockwise=(role == "inner")))
                 out_rows.append(
                     {"relation_id": rid, "role": role,
                      "lons": [c[0] for c in ring], "lats": [c[1] for c in ring]}

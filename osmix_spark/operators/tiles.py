@@ -143,6 +143,63 @@ def encode_way_mvt(ways_px: DataFrame, layer: str = "ways") -> DataFrame:
     return ways_px.groupBy("z", "tx", "ty").applyInPandas(encode, schema=MVT_SCHEMA)
 
 
+def _shoelace_px(pts: list[tuple[int, int]]) -> float:
+    """Standard shoelace (>0 == CCW in y-up axes == CW on screen, since
+    extent-space y grows downward)."""
+    s = 0.0
+    for i in range(len(pts) - 1):
+        s += pts[i][0] * pts[i + 1][1] - pts[i + 1][0] * pts[i][1]
+    return s / 2.0
+
+
+def encode_polygon_mvt(rings_px: DataFrame, layer: str = "areas") -> DataFrame:
+    """Encode multipolygon features (vt/encode.ts:35-45,234-247 winding fix):
+    in extent space (y down) outer rings must be screen-CW (positive
+    shoelace as computed in raw px axes), inner rings screen-CCW.
+
+    rings_px: (z, tx, ty, feature_id, ring_index, role, pxs array<int>,
+    pys array<int>) — one row per (ring, covering tile); ring vertices in
+    extent space, closed (first == last). Rings of one feature are grouped
+    into a single GEOM_POLYGON feature, ordered by ring_index.
+    """
+    lo, hi = -mvt.BUFFER_PX, mvt.EXTENT + mvt.BUFFER_PX
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        feats = []
+        for fid, grp in pdf.sort_values(["feature_id", "ring_index"]).groupby(
+            "feature_id", sort=True
+        ):
+            rings = []
+            for row in grp.itertuples(index=False):
+                pts = [
+                    (max(lo, min(hi, int(x))), max(lo, min(hi, int(y))))
+                    for x, y in zip(row.pxs, row.pys)
+                ]
+                cleaned = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+                if len(cleaned) < 4 or cleaned[0] != cleaned[-1]:
+                    continue
+                want_screen_cw = row.role != "inner"
+                if (_shoelace_px(cleaned) > 0) != want_screen_cw:
+                    cleaned = list(reversed(cleaned))
+                rings.append(cleaned)
+            if rings:
+                feats.append(
+                    {"id": int(fid), "type": mvt.GEOM_POLYGON,
+                     "geometry": rings, "tags": {}}
+                )
+        buf = mvt.encode_tile({layer: feats})
+        h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
+        return pd.DataFrame(
+            [{"z": z, "tx": tx, "ty": ty, "n_features": len(feats),
+              "size_bytes": len(buf), "content_hash": h, "tile": buf}]
+        )
+
+    return rings_px.groupBy("z", "tx", "ty").applyInPandas(encode, schema=MVT_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # raster tiles (T2)
 # ---------------------------------------------------------------------------
@@ -243,3 +300,66 @@ def render_line_raster(ways_px: DataFrame, tile_size: int = 256,
         )
 
     return ways_px.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
+
+
+def render_polygon_raster(rings_px: DataFrame, tile_size: int = 256,
+                          rgba: tuple[int, int, int, int] = (120, 180, 90, 255)) -> DataFrame:
+    """Scanline even-odd polygon fill (raster-tile.ts:279-330): for every
+    scanline y+0.5, collect crossings of all edges of a feature's rings
+    (outer and holes fill correctly under even-odd), sort, fill between
+    crossing pairs. Crossing computation is vectorized over all edges x
+    all scanlines in NumPy; the fixed fill color keeps pixel writes
+    idempotent, so feature order can't change the output bytes.
+
+    rings_px: same shape as encode_polygon_mvt input.
+    """
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
+        scale = tile_size / mvt.EXTENT
+        scan = np.arange(tile_size, dtype=np.float64) + 0.5
+        for _fid, grp in pdf.sort_values(["feature_id", "ring_index"]).groupby(
+            "feature_id", sort=True
+        ):
+            x1s, y1s, x2s, y2s = [], [], [], []
+            for row in grp.itertuples(index=False):
+                xs = np.asarray(row.pxs, dtype=np.float64) * scale
+                ys = np.asarray(row.pys, dtype=np.float64) * scale
+                x1s.append(xs[:-1]); y1s.append(ys[:-1])
+                x2s.append(xs[1:]); y2s.append(ys[1:])
+            if not x1s:
+                continue
+            x1 = np.concatenate(x1s); y1 = np.concatenate(y1s)
+            x2 = np.concatenate(x2s); y2 = np.concatenate(y2s)
+            keep = y1 != y2  # horizontal edges never cross a half-integer scanline boundary pair
+            x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+            if not len(x1):
+                continue
+            # (edges x scanlines) crossing mask: half-open [min_y, max_y)
+            cross = ((y1[:, None] <= scan) & (scan < y2[:, None])) | (
+                (y2[:, None] <= scan) & (scan < y1[:, None])
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xc = x1[:, None] + (scan - y1[:, None]) * (
+                    (x2 - x1)[:, None] / (y2 - y1)[:, None]
+                )
+            for yi in range(tile_size):
+                xs_cross = np.sort(xc[cross[:, yi], yi])
+                for j in range(0, len(xs_cross) - 1, 2):
+                    a = max(0, int(np.ceil(xs_cross[j] - 0.5)))
+                    b = min(tile_size - 1, int(np.floor(xs_cross[j + 1] - 0.5)))
+                    if b >= a:
+                        img[yi, a : b + 1] = rgba
+        png = _write_png_rgba(img)
+        h = int.from_bytes(hashlib.md5(png).digest()[:8], "big") >> 1
+        return pd.DataFrame(
+            [{"z": z, "tx": tx, "ty": ty, "n_features": int(pdf["feature_id"].nunique()),
+              "content_hash": h, "png": png}]
+        )
+
+    return rings_px.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)

@@ -1292,3 +1292,113 @@ def shortbread_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = docs.select("doc_id", F.map_from_arrays(F.array(key), F.array(val)).alias("tags"))
     return tagged.select("doc_id", classify(F.col("tags")).alias("layer"))
+
+
+# ===========================================================================
+# Multipolygon ring assembly (SURVEY §2.8 winding / relation-multipolygon.ts)
+# ===========================================================================
+
+_RINGS_SQL = """
+    WITH c AS (
+      SELECT n_nationkey AS k,
+             (-100.0 + ((n_nationkey * 13) % 40)::DOUBLE * 0.01) AS cx,
+             (40.0 + ((n_nationkey * 7) % 40)::DOUBLE * 0.01) AS cy
+      FROM nation
+    )
+    SELECT k::BIGINT AS relation_id, 0::INT AS ring_index, 'inner' AS role,
+           5::INT AS n_pts, cx - 0.002 AS lon0, cy - 0.002 AS lat0, 0::INT AS ccw
+    FROM c
+    UNION ALL
+    SELECT k::BIGINT, 1::INT, 'outer', 5::INT, cx - 0.004, cy - 0.004, 1::INT
+    FROM c
+    ORDER BY relation_id, ring_index
+"""
+
+
+@_q("osm_ring_assembly", _RINGS_SQL)
+def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multipolygon ring assembly (relation-multipolygon.ts:47-163 +
+    vt/encode.ts winding fix) on synthesized relations: per nation, an
+    outer square split into two member ways (the second stored reversed,
+    exercising end-matching), plus a closed inner ring given CCW
+    (exercising the winding flip). The oracle is the closed-form expected
+    ring set — canonical rotation + survivor winding make the assembled
+    output exactly predictable."""
+    from .operators import rings as rings_op
+
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    cx = F.lit(-100.0) + ((F.col("k") * 13) % 40).cast("double") * F.lit(0.01)
+    cy = F.lit(40.0) + ((F.col("k") * 7) % 40).cast("double") * F.lit(0.01)
+    base = nation.select("k", cx.alias("cx"), cy.alias("cy"))
+
+    def corner(dx: float, dy: float):
+        return F.struct(
+            (F.col("cx") + F.lit(dx)).alias("lon"), (F.col("cy") + F.lit(dy)).alias("lat")
+        )
+
+    a, b = 0.004, 0.002
+    # 8 nodes per relation: outer corners 1-4 (CCW), inner corners 5-8 (CCW)
+    corners = [
+        (1, -a, -a), (2, a, -a), (3, a, a), (4, -a, a),
+        (5, -b, -b), (6, b, -b), (7, b, b), (8, -b, b),
+    ]
+    nodes = (
+        base.select(
+            "k",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        (F.col("k") * 100 + i).alias("id"),
+                        (F.col("cx") + F.lit(dx)).alias("lon"),
+                        (F.col("cy") + F.lit(dy)).alias("lat"),
+                    )
+                    for i, dx, dy in corners
+                ])
+            ).alias("n"),
+        )
+        .select(F.col("n.id").alias("id"), F.col("n.lon").alias("lon"),
+                F.col("n.lat").alias("lat"))
+    )
+    k100 = F.col("k") * 100
+    ways = base.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("k") * 10 + 1).alias("id"),
+                         F.array(k100 + 1, k100 + 2, k100 + 3).alias("refs")),
+                # second half stored in the same start->end direction: the
+                # chain must reverse it to close the square
+                F.struct((F.col("k") * 10 + 2).alias("id"),
+                         F.array(k100 + 1, k100 + 4, k100 + 3).alias("refs")),
+                # inner ring pre-closed, given CCW (winding fix flips it)
+                F.struct((F.col("k") * 10 + 3).alias("id"),
+                         F.array(k100 + 5, k100 + 6, k100 + 7, k100 + 8, k100 + 5).alias("refs")),
+            )
+        ).alias("w")
+    ).select(F.col("w.id").alias("id"), F.col("w.refs").alias("refs"))
+    members = base.select(
+        F.col("k").alias("relation_id"),
+        F.explode(
+            F.array(
+                F.struct((F.col("k") * 10 + 1).alias("member_ref"), F.lit("outer").alias("role")),
+                F.struct((F.col("k") * 10 + 2).alias("member_ref"), F.lit("outer").alias("role")),
+                F.struct((F.col("k") * 10 + 3).alias("member_ref"), F.lit("inner").alias("role")),
+            )
+        ).alias("m"),
+    ).select("relation_id", F.col("m.member_ref").alias("member_ref"), F.col("m.role").alias("role"))
+
+    assembled = rings_op.assemble_relation_rings(members, ways, nodes)
+    return assembled.select(
+        "relation_id", "ring_index", "role",
+        F.size("lons").alias("n_pts"),
+        F.element_at("lons", 1).alias("lon0"),
+        F.element_at("lats", 1).alias("lat0"),
+        F.when(
+            F.aggregate(
+                F.sequence(F.lit(1), F.size("lons") - 1),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at("lons", i) * F.element_at("lats", i + 1)
+                - F.element_at("lons", i + 1) * F.element_at("lats", i),
+            ) > 0, 1
+        ).otherwise(0).alias("ccw"),
+    ).orderBy("relation_id", "ring_index")

@@ -116,3 +116,48 @@ def test_raster_lines(spark):
     assert px(10, 10) != b"\x00\x00\x00\x00"
     assert all(px(x, 128) != b"\x00\x00\x00\x00" for x in range(0, 256, 16))
     assert px(5, 200) == b"\x00\x00\x00\x00"
+
+
+def test_polygon_mvt_winding(spark):
+    # outer ring given screen-CCW (needs flip), inner given screen-CW (needs flip)
+    outer = ([0, 0, 1000, 1000, 0], [0, 1000, 1000, 0, 0])        # shoelace < 0 in px axes
+    inner = ([200, 800, 800, 200, 200], [200, 200, 800, 800, 200])  # shoelace > 0
+    rings_px = spark.createDataFrame(
+        [(12, 1, 2, 50, 0, "outer", *outer), (12, 1, 2, 50, 1, "inner", *inner)],
+        "z int, tx long, ty long, feature_id long, ring_index int, role string, "
+        "pxs array<int>, pys array<int>",
+    )
+    row = tiles.encode_polygon_mvt(rings_px).collect()[0]
+    assert row["n_features"] == 1
+    feats = mvt.decode_tile(bytes(row["tile"]))["areas"]
+    assert len(feats) == 1 and feats[0]["type"] == mvt.GEOM_POLYGON
+    g = feats[0]["geometry"]
+    assert len(g) == 2
+    assert tiles._shoelace_px(g[0]) > 0   # outer screen-CW (y down)
+    assert tiles._shoelace_px(g[1]) < 0   # inner screen-CCW
+
+
+def test_polygon_raster_fill(spark):
+    # square covering px 512..3584 (=> pixels 32..223) with a hole 1536..2560
+    outer = ([512, 3584, 3584, 512, 512], [512, 512, 3584, 3584, 512])
+    hole = ([1536, 2560, 2560, 1536, 1536], [1536, 1536, 2560, 2560, 1536])
+    rings_px = spark.createDataFrame(
+        [(10, 5, 6, 1, 0, "outer", *outer), (10, 5, 6, 1, 1, "inner", *hole)],
+        "z int, tx long, ty long, feature_id long, ring_index int, role string, "
+        "pxs array<int>, pys array<int>",
+    )
+    row = tiles.render_polygon_raster(rings_px).collect()[0]
+    png = bytes(row["png"])
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = int.from_bytes(png[idat_start - 8 : idat_start - 4], "big")
+    raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+    stride = 1 + 256 * 4
+
+    def px(x, y):
+        o = y * stride + 1 + x * 4
+        return raw[o : o + 4]
+
+    assert px(64, 64) != b"\x00\x00\x00\x00"       # inside outer, outside hole
+    assert px(128, 128) == b"\x00\x00\x00\x00"     # inside the hole (even-odd)
+    assert px(10, 10) == b"\x00\x00\x00\x00"       # outside the polygon
+    assert px(200, 64) != b"\x00\x00\x00\x00"      # right band between hole and edge
