@@ -1402,3 +1402,68 @@ def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) > 0, 1
         ).otherwise(0).alias("ccw"),
     ).orderBy("relation_id", "ring_index")
+
+
+# ===========================================================================
+# Routing (SURVEY §2.12, packages/router): SSSP on a deterministic grid
+# ===========================================================================
+
+_GRID_N, _GRID_W = 60, 12  # 12 x 5 grid; custkey 1..60 exists at every sf
+# exact-quarter weights: every dist is a multiple of 0.25 -> float-exact
+# across engines regardless of accumulation order
+_W_SQL = "1.0 + ((src * 7 + dst * 13) % 8)::DOUBLE * 0.25"
+
+
+def _route_oracle_sql(rounds: int = 44) -> str:
+    """Unrolled Bellman-Ford as a CTE chain: d_k holds per-node min dist
+    over paths of <= k hops; weights are >= 1.0 and the max true distance
+    is <= 15 hops x 2.75 < 42, so 44 rounds provably reach the fixpoint."""
+    parts = [
+        f"WITH n AS MATERIALIZED (SELECT c_custkey AS id FROM customer WHERE c_custkey BETWEEN 0 AND {_GRID_N - 1}),",
+        f"""e0 AS MATERIALIZED (
+          SELECT id AS src, id + 1 AS dst FROM n WHERE id % {_GRID_W} <> {_GRID_W - 1} AND id + 1 <= {_GRID_N - 1}
+          UNION ALL
+          SELECT id, id + {_GRID_W} FROM n WHERE id + {_GRID_W} <= {_GRID_N - 1}
+        ),""",
+        f"""ew AS MATERIALIZED (SELECT src, dst, {_W_SQL} AS w FROM e0),""",
+        "ee AS MATERIALIZED (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),",
+        "d0(node, dist) AS (SELECT 0::BIGINT, 0.0::DOUBLE),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{k-1} UNION ALL "
+            f"SELECT ee.dst AS node, d.dist + ee.w AS dist "
+            f"FROM d{k-1} d JOIN ee ON ee.src = d.node) GROUP BY node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node::BIGINT AS node, dist FROM d{rounds} ORDER BY node")
+    return "\n".join(parts)
+
+
+@_q("osm_route_shortest_path", _route_oracle_sql())
+def osm_route_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 router (packages/router/src/algorithms/shortest-path.ts:115):
+    single-source shortest path over a deterministic 15x10 grid graph with
+    exact-quarter weights, computed by frontier-based distributed label
+    correction (operators/router.shortest_path — fixpoint == Dijkstra).
+    Oracle: Bellman-Ford unrolled to 64 CTE rounds in DuckDB (provably at
+    fixpoint: weights >= 1, max dist < 64)."""
+    from .operators import router
+
+    ids = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") >= 0) & (F.col("c_custkey") <= _GRID_N - 1)
+    ).select(F.col("c_custkey").alias("id"))
+    right = ids.filter(
+        (F.col("id") % _GRID_W != _GRID_W - 1) & (F.col("id") + 1 <= _GRID_N - 1)
+    ).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    down = ids.filter(F.col("id") + _GRID_W <= _GRID_N - 1).select(
+        F.col("id").alias("src"), (F.col("id") + _GRID_W).alias("dst")
+    )
+    ew = right.unionByName(down).select(
+        "src", "dst",
+        (F.lit(1.0) + ((F.col("src") * 7 + F.col("dst") * 13) % 8).cast("double") * 0.25).alias("w"),
+    )
+    edges = ew.unionByName(ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    dist = router.shortest_path(edges, source=0)
+    return dist.select("node", "dist").orderBy("node")
