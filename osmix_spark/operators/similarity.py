@@ -125,3 +125,115 @@ def ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
+                        lloyd_iters: int = 2, c_id: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse quantizer: seed centroids are the n_centroids
+    smallest-id corpus vectors (reproducible, no RNG), refined by
+    `lloyd_iters` distributed k-means steps — assign = broadcast argmin
+    join, update = posexplode + groupBy(centroid, dim) mean. Returns
+    (centroid_id, centroid array<double>).
+
+    Scale: assignment is a broadcast map-side join over the corpus (one
+    pass each iteration); the update shuffle is (n_centroids x dim) rows —
+    tiny at any corpus size.
+    """
+    seeds = (
+        corpus.orderBy(c_id).limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(c_id)).alias("centroid_id"),
+            _as_double(F.col(vec_col)).alias("centroid"),
+        )
+        .withColumn("centroid_id", F.col("centroid_id") - 1)
+    )
+    vecs = corpus.select(F.col(c_id), _as_double(F.col(vec_col)).alias("v"))
+    cents = seeds
+    for _ in range(lloyd_iters):
+        # assign: nearest centroid by squared L2 (min_by over broadcast dim)
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .groupBy(c_id, "v")
+            .agg(F.min(F.struct("d2", "centroid_id")).alias("b"))
+            .select(F.col("b.centroid_id").alias("centroid_id"), "v")
+        )
+        # update: per-(centroid, dim) mean, re-assembled into arrays
+        cents = (
+            assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+            .select("centroid_id", F.col("s.m").alias("centroid"))
+        )
+    return cents
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame, c_id: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Bucket each corpus vector under its nearest centroid — the inverted
+    file. At 100 TB this DataFrame is written partitioned/bucketed by
+    centroid_id so a probe reads only its lists."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return (
+        corpus.select(F.col(c_id), _as_double(F.col(vec_col)).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .groupBy(c_id, "v")
+        .agg(F.min(F.struct("d2", "centroid_id")).alias("b"))
+        .select(c_id, F.col("b.centroid_id").alias("centroid_id"), "v")
+    )
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             n_centroids: int = 16, n_probe: int = 4, lloyd_iters: int = 2,
+             q_id: str = "query_id", c_id: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF ANN: train/reuse a coarse quantizer, probe the n_probe nearest
+    inverted lists per query, exact cosine refine inside them, window
+    top-k. Recall vs brute_force_topk asserted in tests; raise n_probe to
+    trade throughput for recall."""
+    cents = centroids if centroids is not None else ivf_train_centroids(
+        corpus, n_centroids, lloyd_iters, c_id, vec_col
+    )
+    cents = cents.localCheckpoint()  # train once; probed twice below
+    inv = ivf_assign(corpus, cents, c_id, vec_col).withColumn("cn", _norm(F.col("v")))
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    wprobe = Window.partitionBy(q_id).orderBy("d2", "centroid_id")
+    probes = (
+        queries.select(F.col(q_id), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("qn", _norm(F.col("qv")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= n_probe)
+        .select(q_id, "qv", "qn", "centroid_id")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        probes.join(inv, "centroid_id")
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("sim", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("cn")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("sim", 6).alias("sim"), "rank")
+    )

@@ -1467,3 +1467,18 @@ def osm_route_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ew.unionByName(ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
     dist = router.shortest_path(edges, source=0)
     return dist.select("node", "dist").orderBy("node")
+
+
+@_q("embed_ann_ivf")  # rows-only: Lloyd means are float-accumulation-order sensitive
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-file ANN (operators/similarity.ivf_topk): deterministic
+    seeded coarse quantizer + 2 distributed Lloyd steps, n_probe nearest
+    lists probed per query, exact cosine refine. Recall vs brute force
+    asserted in tests; output determinism across parallelism tested."""
+    from .operators import similarity as _similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _similarity.ivf_topk(queries, emb, k=3, n_centroids=8, n_probe=4)

@@ -88,3 +88,30 @@ def test_embedding_near_dupes_finds_self_plant(spark, sf_dir):
     out = dedupe.embedding_near_dupes(emb.unionByName(plant), threshold=0.999)
     hits = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (0, 1_000_000) in hits
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the inverted lists must recover most of the true top-5
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # deterministic across parallelism (seeded centroids, struct-min ties)
+    again = similarity.ivf_topk(
+        queries.repartition(7), emb.repartition(5), k=5, n_centroids=8, n_probe=4
+    )
+    assert {tuple(r) for r in approx.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_ivf_centroid_count(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.ivf_train_centroids(emb, n_centroids=8, lloyd_iters=1)
+    rows = cents.collect()
+    assert len(rows) <= 8 and len(rows) >= 1
+    assert all(len(r["centroid"]) == 64 for r in rows)
