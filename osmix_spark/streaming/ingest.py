@@ -65,3 +65,68 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_dir: str) -
         .start()
     )
     q.awaitTermination()
+
+
+def dedupe_urls_stateful(stream: DataFrame, state_timeout: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator (the applyInPandasWithState path
+    the reference's generation-gate/resume concept maps to): first-seen-wins
+    URL dedupe across micro-batches. State per url = the content fingerprint
+    already emitted; later arrivals with the same url are dropped (or
+    emitted as 'changed' when the text hash differs — the streaming analog
+    of the OSC modify record).
+
+    Emits (url, fingerprint, change_type) where change_type in
+    ('create', 'modify'); unchanged re-crawls are suppressed.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("fingerprint", T.LongType(), False),
+        T.StructField("change_type", T.StringType(), False),
+    ])
+    state_schema = T.StructType([T.StructField("fingerprint", T.LongType(), False)])
+
+    def fn(key, pdf_iter, state: GroupState):
+        url = key[0]
+        seen = state.get[0] if state.exists else None
+        rows = []
+        # a micro-batch may contain several crawls of one url in arbitrary
+        # arrival order — fold them in event-time order
+        frames = [p for p in pdf_iter if len(p)]
+        if not frames:
+            if seen is not None:
+                state.update((seen,))
+            return
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["warc_ts", "fingerprint"]
+        )
+        for fp in batch["fingerprint"].astype("int64"):
+            fp = int(fp)
+            if seen is None:
+                rows.append({"url": url, "fingerprint": fp, "change_type": "create"})
+                seen = fp
+            elif fp != seen:
+                rows.append({"url": url, "fingerprint": fp, "change_type": "modify"})
+                seen = fp
+        state.update((seen,))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..functions.hashing import portable_hash64  # noqa: PLC0415
+
+    fingerprinted = stream.select(
+        "url", "warc_ts", portable_hash64(F.col("text")).alias("fingerprint")
+    )
+    return fingerprinted.groupBy("url").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -120,3 +120,32 @@ def test_streaming_ingest_available_now(spark, tmp_path):
     b = {(r["window_start"], r["cell"]): r["n"] for r in batch_counts.collect()}
     s = {(r["window_start"], r["cell"]): r["n_pages"] for r in got.collect()}
     assert b == s
+
+
+def test_streaming_stateful_url_dedupe(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    base = pages.generate_pages(spark, 50).select("url", "warc_ts", "text")
+    # re-crawl every url unchanged + change the text of urls ending in 0
+    recrawl = base.withColumn(
+        "warc_ts", F.col("warc_ts") + F.make_interval(hours=F.lit(1.0))
+    ).withColumn(
+        "text",
+        F.when(F.xxhash64("url") % 10 == 0, F.concat(F.col("text"), F.lit(" UPDATED")))
+        .otherwise(F.col("text")),
+    )
+    base.unionByName(recrawl).write.parquet(src)
+
+    stream = ingest.stream_pages(spark, src)
+    deduped = ingest.dedupe_urls_stateful(stream)
+    ingest.run_available_now(deduped, ckpt, out)
+
+    got = spark.read.parquet(out)
+    by_type = {r["change_type"]: r["n"] for r in
+               got.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_changed = base.filter(F.xxhash64("url") % 10 == 0).count()
+    assert by_type["create"] == 50
+    assert by_type.get("modify", 0) == n_changed
+    # every url creates exactly once
+    assert got.filter(F.col("change_type") == "create").select("url").distinct().count() == 50
