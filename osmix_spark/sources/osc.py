@@ -94,3 +94,55 @@ def to_osc_string(node_changes: DataFrame | None = None,
             parts.append(f"</{sec}>")
     parts.append("</osmChange>")
     return "".join(parts)
+
+
+def render_augmented_fragments(changes: DataFrame, entity: str = "node") -> DataFrame:
+    """Augmented-diff fragments (osc.ts augmented variant): each change
+    becomes `<action type="...">` wrapping `<old>` (pre-image, from
+    `old_`-prefixed columns) and `<new>` (post-image). Creates have an
+    empty <old>, deletes an empty <new>. Rendered in parallel per Arrow
+    batch; returns (change_type, id, xml)."""
+    render = _node_xml if entity == "node" else _way_xml
+    schema = T.StructType(
+        [
+            T.StructField("change_type", T.StringType(), False),
+            T.StructField("id", T.LongType(), False),
+            T.StructField("xml", T.StringType(), False),
+        ]
+    )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                ct = r["change_type"]
+                old_r = {
+                    k[len("old_"):]: v for k, v in r.items() if k.startswith("old_")
+                }
+                old_x = "<old/>" if ct == "create" else f"<old>{render(old_r)}</old>"
+                new_x = "<new/>" if ct == "delete" else f"<new>{render(r)}</new>"
+                rows.append(
+                    {
+                        "change_type": ct,
+                        "id": int(r["id"]),
+                        "xml": f'<action type="{ct}">{old_x}{new_x}</action>',
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["change_type", "id", "xml"])
+
+    return changes.mapInPandas(go, schema=schema)
+
+
+def to_augmented_diff_string(node_changes: DataFrame | None = None,
+                             way_changes: DataFrame | None = None,
+                             generator: str = "osmix-spark") -> str:
+    """Deterministic augmented diff document (actions sorted by entity
+    type then id, matching the sorted-export discipline)."""
+    frag_lists: list[str] = []
+    for df, _entity in ((node_changes, "node"), (way_changes, "way")):
+        if df is None:
+            continue
+        frags = render_augmented_fragments(df, _entity).orderBy("id").collect()
+        frag_lists.extend(r["xml"] for r in frags)
+    head = f'<osm version="0.6" generator="{xml_escape(generator)}">'
+    return head + "".join(frag_lists) + "</osm>"

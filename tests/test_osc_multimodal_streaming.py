@@ -149,3 +149,29 @@ def test_streaming_stateful_url_dedupe(spark, tmp_path):
     assert by_type.get("modify", 0) == n_changed
     # every url creates exactly once
     assert got.filter(F.col("change_type") == "create").select("url").distinct().count() == 50
+
+
+def test_osc_augmented_diff(spark):
+    import xml.etree.ElementTree as ET
+    node_changes = spark.createDataFrame(
+        [
+            (1, 1.0, 2.0, {"a": "1"}, "create", None, None, None),
+            (2, 3.5, 4.0, {"b": "2"}, "modify", 3.0, 4.0, {"b": "1"}),
+            (3, 5.0, 6.0, None, "delete", 5.0, 6.0, {"gone": "yes"}),
+        ],
+        "id long, lon double, lat double, tags map<string,string>, change_type string, "
+        "old_lon double, old_lat double, old_tags map<string,string>",
+    ).withColumn("old_id", F.col("id"))
+    doc = osc.to_augmented_diff_string(node_changes)
+    root = ET.fromstring(doc)
+    assert root.tag == "osm"
+    actions = root.findall("action")
+    assert [a.attrib["type"] for a in actions] == ["create", "modify", "delete"]
+    create, modify, delete = actions
+    assert create.find("old").find("node") is None          # empty pre-image
+    assert create.find("new").find("node").attrib["id"] == "1"
+    assert modify.find("old").find("node").attrib["lon"] == "3.0"
+    assert modify.find("new").find("node").attrib["lon"] == "3.5"
+    assert modify.find("old").find("node")[0].attrib["v"] == "1"
+    assert delete.find("new").find("node") is None          # empty post-image
+    assert delete.find("old").find("node")[0].attrib["k"] == "gone"
