@@ -238,3 +238,47 @@ def way_is_area(tags: Column, is_closed: Column) -> Column:
         .when(area_tag == "no", F.lit(False))
         .otherwise(keyed)
     )
+
+
+# ---------------------------------------------------------------------------
+# relation-kind classification (types/src/relation-kind.ts:29-158)
+# ---------------------------------------------------------------------------
+
+_AREA_TYPES = ("multipolygon", "boundary", "site")
+_LINE_TYPES = ("route", "waterway", "multilinestring", "canal")
+
+
+def relation_kind(tags: Column, has_relation_member: Column) -> Column:
+    """area | line | point | super | logic, exactly the reference's CASE
+    order: typed area/line/point first, then super (has relation members),
+    else logic; untyped relations are super-or-logic."""
+    t = F.lower(F.element_at(_c(tags), F.lit("type")))
+    sup = F.when(_c(has_relation_member), "super").otherwise("logic")
+    return (
+        F.when(t.isNull(), sup)
+        .when(t.isin(*_AREA_TYPES), "area")
+        .when(t.isin(*_LINE_TYPES), "line")
+        .when(t == "multipoint", "point")
+        .otherwise(sup)
+    )
+
+
+# ---------------------------------------------------------------------------
+# hex color normalization (vt/src/hex-color.ts)
+# ---------------------------------------------------------------------------
+
+def normalize_hex_color(value: Column) -> Column:
+    """'#abc'/'abc'/'aabbcc'/'aabbccdd' -> '#AABBCC[DD]'; anything else NULL
+    (same acceptance set as normalizeHexColor: 3/4/6/8 hex digits)."""
+    raw = F.trim(_c(value).cast("string"))
+    hexs = F.when(raw.startswith("#"), F.substring(raw, 2, 1 << 20)).otherwise(raw)
+    valid = hexs.rlike("^[0-9a-fA-F]+$")
+    n = F.length(hexs)
+    doubled = F.array_join(
+        F.transform(F.split(hexs, ""), lambda ch: F.concat(ch, ch)), ""
+    )
+    return (
+        F.when(~valid | ~n.isin(3, 4, 6, 8), F.lit(None).cast("string"))
+        .when(n.isin(3, 4), F.concat(F.lit("#"), F.upper(doubled)))
+        .otherwise(F.concat(F.lit("#"), F.upper(hexs)))
+    )

@@ -1482,3 +1482,42 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return _similarity.ivf_topk(queries, emb, k=3, n_centroids=8, n_probe=4)
+
+
+_REL_KIND_SQL = """
+    WITH rels AS (
+      SELECT doc_id,
+             CASE doc_id % 7 WHEN 0 THEN 'multipolygon' WHEN 1 THEN 'route'
+                  WHEN 2 THEN 'multipoint' WHEN 3 THEN 'restriction'
+                  WHEN 4 THEN 'boundary' WHEN 5 THEN NULL ELSE 'waterway' END AS t,
+             (doc_id % 3 = 0) AS hrm
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN t IS NULL THEN (CASE WHEN hrm THEN 'super' ELSE 'logic' END)
+                WHEN lower(t) IN ('multipolygon','boundary','site') THEN 'area'
+                WHEN lower(t) IN ('route','waterway','multilinestring','canal') THEN 'line'
+                WHEN lower(t) = 'multipoint' THEN 'point'
+                WHEN hrm THEN 'super' ELSE 'logic' END AS kind
+    FROM rels
+"""
+
+
+@_q("osm_relation_kind", _REL_KIND_SQL)
+def osm_relation_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-kind classification (types/src/relation-kind.ts:29-158) as a
+    single JVM-side CASE expression over synthesized typed relations."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    t = (
+        F.when(m == 0, "multipolygon").when(m == 1, "route")
+        .when(m == 2, "multipoint").when(m == 3, "restriction")
+        .when(m == 4, "boundary").when(m == 5, F.lit(None).cast("string"))
+        .otherwise("waterway")
+    )
+    rels = docs.select(
+        "doc_id",
+        F.when(t.isNotNull(), F.create_map(F.lit("type"), t)).alias("tags"),
+        (F.col("doc_id") % 3 == 0).alias("hrm"),
+    )
+    return rels.select("doc_id", geo.relation_kind(F.col("tags"), F.col("hrm")).alias("kind"))

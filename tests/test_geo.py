@@ -97,3 +97,23 @@ def test_way_is_area(spark):
     t3 = F.create_map(F.lit("highway"), F.lit("primary"), F.lit("area"), F.lit("yes"))
     assert _one(spark, geo.way_is_area(t3, closed))
     assert not _one(spark, geo.way_is_area(t, F.lit(False)))
+
+
+def test_relation_kind_and_hex_color(spark):
+    from pyspark.sql import functions as F
+
+    rel = spark.createDataFrame(
+        [({"type": "Multipolygon"}, False), ({"type": "route"}, False),
+         ({"type": "restriction"}, True), (None, True), (None, False),
+         ({"type": "multipoint"}, False), ({"type": "boundary"}, True)],
+        "tags map<string,string>, hrm boolean",
+    )
+    kinds = [r[0] for r in rel.select(geo.relation_kind(F.col("tags"), F.col("hrm"))).collect()]
+    assert kinds == ["area", "line", "super", "super", "logic", "point", "area"]
+
+    colors = spark.createDataFrame(
+        [("#abc",), ("ABC",), ("aabbcc",), ("#AABBCCDD",), ("xyz",), ("#abcd",), ("",), ("#abcde",)],
+        "c string",
+    )
+    out = [r[0] for r in colors.select(geo.normalize_hex_color(F.col("c"))).collect()]
+    assert out == ["#AABBCC", "#AABBCC", "#AABBCC", "#AABBCCDD", None, "#AABBCCDD", None, None]
