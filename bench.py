@@ -92,6 +92,9 @@ def main() -> None:
         "tile_mvt_stats",
         "osm_extract_simple",
         "shortbread_classify",
+        "osm_ring_assembly",
+        "osm_relation_kind",
+        "embed_ann_ivf",
     ]
     timings: dict[str, float] = {}
 

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the pure kernels — codec
+round-trips and algebraic invariants that must hold for ALL inputs, not
+just fixtures. No SparkSession needed; these run in milliseconds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmix_spark.functions import mvt
+from osmix_spark.operators import rings as rings_op
+
+coord = st.integers(min_value=-(mvt.BUFFER_PX), max_value=mvt.EXTENT + mvt.BUFFER_PX)
+point = st.tuples(coord, coord)
+
+
+@given(st.lists(point, min_size=1, max_size=20))
+@settings(max_examples=200)
+def test_mvt_point_feature_roundtrip(pts):
+    feats = [
+        {"id": i, "type": mvt.GEOM_POINT, "geometry": [[p]], "tags": {}}
+        for i, p in enumerate(pts)
+    ]
+    out = mvt.decode_tile(mvt.encode_tile({"l": feats}))["l"]
+    assert [f["geometry"][0][0] for f in out] == pts
+
+
+@given(st.lists(point, min_size=2, max_size=50))
+@settings(max_examples=200)
+def test_mvt_linestring_roundtrip(pts):
+    # MVT delta-encoding collapses zero-length moves; feed deduped input
+    deduped = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+    if len(deduped) < 2:
+        return
+    feats = [{"id": 1, "type": mvt.GEOM_LINESTRING, "geometry": [deduped], "tags": {}}]
+    out = mvt.decode_tile(mvt.encode_tile({"l": feats}))["l"]
+    assert out[0]["geometry"][0] == deduped
+
+
+@given(st.dictionaries(st.text(max_size=20), st.one_of(
+    st.text(max_size=20), st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    max_size=8))
+@settings(max_examples=200)
+def test_mvt_tags_roundtrip(tags):
+    feats = [{"id": 1, "type": mvt.GEOM_POINT, "geometry": [[(0, 0)]], "tags": tags}]
+    out = mvt.decode_tile(mvt.encode_tile({"l": feats}))["l"]
+    assert out[0]["tags"] == tags
+
+
+@given(st.lists(st.tuples(
+    st.floats(min_value=-180, max_value=180, allow_nan=False),
+    st.floats(min_value=-85, max_value=85, allow_nan=False)),
+    min_size=3, max_size=12, unique=True))
+@settings(max_examples=200)
+def test_ring_winding_involution(body):
+    ring = body + [body[0]]
+    area = rings_op.ring_area_signed(ring)
+    if area == 0.0:  # degenerate collinear ring: winding undefined
+        return
+    ccw = rings_op.ensure_winding(ring, clockwise=False)
+    cw = rings_op.ensure_winding(ring, clockwise=True)
+    assert rings_op.ring_area_signed(ccw) > 0
+    assert rings_op.ring_area_signed(cw) < 0
+    # idempotent
+    assert rings_op.ensure_winding(ccw, clockwise=False) == ccw
+    # canonical rotation preserves orientation and vertex multiset
+    canon = rings_op.canonical_ring(ccw)
+    assert sorted(canon[:-1]) == sorted(ccw[:-1])
+    assert rings_op.ring_area_signed(canon) > 0
+    assert canon[0] == min(canon[:-1])
+
+
+@given(st.integers(min_value=-(2**30), max_value=2**30))
+@settings(max_examples=500)
+def test_zigzag_roundtrip(v):
+    z = mvt._zigzag(v)
+    assert z >= 0
+    assert mvt._unzigzag(z) == v
