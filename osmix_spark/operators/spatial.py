@@ -345,3 +345,73 @@ def _ray_cast(px, py, verts):
         inside ^= crosses
         j = i
     return inside
+
+
+def knn_bbox_join(queries: DataFrame, boxes: DataFrame, k: int,
+                  query_id: str = "query_id", box_id: str = "id",
+                  q_lon: str = "lon", q_lat: str = "lat",
+                  z: int = 12, max_ring: int = 8) -> DataFrame:
+    """k nearest bbox entities (ways/relations) per query — geoflatbush
+    `around()` over the way/relation R-trees (ways.ts:369-381,
+    relations.ts:482-494). Distance = great-circle to the nearest point of
+    the box (clamp then haversine, geoflatbush's boxDist); inverted bboxes
+    (geometry-less entities, ways.ts:350-359) are excluded.
+
+    Same ring-expansion sufficiency loop as knn_join: boxes are exploded to
+    covering cells once; each round equi-joins the unresolved queries'
+    neighbor cells against that cover.
+    """
+    from pyspark.sql.window import Window
+
+    b = boxes.filter(
+        (F.col("minx") <= F.col("maxx")) & (F.col("miny") <= F.col("maxy"))
+    ).select(
+        F.col(box_id).alias("__bid"), "minx", "miny", "maxx", "maxy",
+        F.explode(
+            cover_cells(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), z)
+        ).alias("__cell"),
+    )
+    remaining = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(q_lon).alias("__qlon"),
+        F.col(q_lat).alias("__qlat"),
+    )
+    near_lon = F.greatest(F.col("minx"), F.least(F.col("__qlon"), F.col("maxx")))
+    near_lat = F.greatest(F.col("miny"), F.least(F.col("__qlat"), F.col("maxy")))
+    results: DataFrame | None = None
+    ring = 1
+    while True:
+        cand = (
+            _explode_neighbors(remaining, "__qlon", "__qlat", z, ring)
+            .join(b, "__cell")
+            .dropDuplicates(["__qid", "__bid"])
+        )
+        dist = geo.haversine_m(F.col("__qlon"), F.col("__qlat"), near_lon, near_lat)
+        w = Window.partitionBy("__qid").orderBy(F.col("dist_m"), F.col("__bid"))
+        topk = (
+            cand.withColumn("dist_m", dist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+        )
+        tile_ground = (
+            F.lit(EARTH_CIRCUMFERENCE_M) * F.cos(F.radians(F.col("__qlat"))) / F.lit(1 << z)
+        )
+        stats = topk.groupBy("__qid").agg(
+            F.max("dist_m").alias("__kth"), F.count("*").alias("__n"),
+            F.first(tile_ground).alias("__tg"),
+        )
+        done_q = stats.filter(
+            (F.col("__n") >= k) & (F.col("__kth") <= F.col("__tg") * ring)
+        ).select("__qid")
+        if ring >= max_ring:
+            done_q = stats.select("__qid")
+        done = topk.join(done_q, "__qid", "left_semi")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_q, "__qid", "left_anti")
+        if ring >= max_ring or remaining.isEmpty():
+            break
+        ring *= 2
+    return results.select(
+        F.col("__qid").alias(query_id), F.col("__bid").alias(box_id),
+        F.col("dist_m"), F.col("__rn").alias("rank"),
+    )

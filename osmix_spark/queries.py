@@ -1521,3 +1521,52 @@ def osm_relation_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3 == 0).alias("hrm"),
     )
     return rels.select("doc_id", geo.relation_kind(F.col("tags"), F.col("hrm")).alias("kind"))
+
+
+_KNN_BBOX_SQL = f"""
+    WITH q AS ({_KNN_CENTERS_SQL}),
+    boxes AS (
+      SELECT n_nationkey,
+             ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) - 0.03 AS minx,
+             ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) - 0.03 AS miny,
+             ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) + 0.03 AS maxx,
+             ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) + 0.03 AS maxy
+      FROM nation
+    ),
+    d AS (
+      SELECT q.query_id, boxes.n_nationkey,
+             {_hav_sql("q.qlon", "q.qlat",
+                       "greatest(boxes.minx, least(q.qlon, boxes.maxx))",
+                       "greatest(boxes.miny, least(q.qlat, boxes.maxy))")} AS dist
+      FROM q CROSS JOIN boxes
+    )
+    SELECT query_id, n_nationkey, round(dist, 3) AS dist_m, rn::BIGINT AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, n_nationkey) AS rn FROM d)
+    WHERE rn <= 3
+"""
+
+
+@_q("geo_knn_bbox", _KNN_BBOX_SQL)
+def geo_knn_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 over way/relation bboxes (geoflatbush around(), ways.ts:369-381):
+    ring-expansion kNN where distance = great-circle to the clamped nearest
+    point of each box; oracle is the brute-force clamped-haversine cross
+    join."""
+    nation = _t(spark, sf_dir, "nation")
+    cid = F.col("n_nationkey") % synth.NUM_CLUSTERS
+    clon = F.lit(synth.CENTROID_LON) + cid.cast("double") * synth.CLUSTER_STEP_LON
+    clat = F.lit(synth.CENTROID_LAT) + (cid % 3).cast("double") * synth.CLUSTER_STEP_LAT
+    boxes = nation.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        (clon - 0.03).alias("minx"), (clat - 0.03).alias("miny"),
+        (clon + 0.03).alias("maxx"), (clat + 0.03).alias("maxy"),
+    )
+    queries = nation.filter(F.col("n_nationkey").between(1, 5)).select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        clon.alias("lon"), clat.alias("lat"),
+    )
+    out = spatial.knn_bbox_join(queries, boxes, k=3, box_id="n_nationkey", z=12)
+    return out.select(
+        "query_id", "n_nationkey", F.round("dist_m", 3).alias("dist_m"),
+        F.col("rank").cast("long").alias("rank"),
+    )

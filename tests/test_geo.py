@@ -117,3 +117,23 @@ def test_relation_kind_and_hex_color(spark):
     )
     out = [r[0] for r in colors.select(geo.normalize_hex_color(F.col("c"))).collect()]
     assert out == ["#AABBCC", "#AABBCC", "#AABBCC", "#AABBCCDD", None, "#AABBCCDD", None, None]
+
+
+def test_knn_bbox_join(spark):
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators import spatial
+
+    # three boxes east of the query at increasing distance + one inverted
+    boxes = spark.createDataFrame(
+        [(1, 0.01, -0.01, 0.02, 0.01), (2, 0.05, -0.01, 0.06, 0.01),
+         (3, 0.50, -0.01, 0.60, 0.01), (4, 1.0, 1.0, 0.0, 0.0)],  # 4 inverted
+        "id long, minx double, miny double, maxx double, maxy double",
+    )
+    q = spark.createDataFrame([(100, 0.0, 0.0)], "query_id long, lon double, lat double")
+    out = spatial.knn_bbox_join(q, boxes, k=2, z=12).collect()
+    got = [(r["query_id"], r["id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(100, 1, 1), (100, 2, 2)]
+    # distance to box 1 = haversine to its nearest edge point (0.01, 0)
+    d1 = [r["dist_m"] for r in out if r["id"] == 1][0]
+    assert abs(d1 - 1113.2) < 5  # 0.01 deg lon at equator
