@@ -302,16 +302,160 @@ def render_line_raster(ways_px: DataFrame, tile_size: int = 256,
     return ways_px.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
 
 
+def _polygon_mask(grp, tile_size: int, scale: float):
+    """Boolean even-odd scanline fill mask for one feature's rings
+    (raster-tile.ts:279-330). Crossing computation vectorized over
+    (edges x scanlines); grp rows carry pxs/pys extent-space arrays."""
+    import numpy as np
+
+    mask = np.zeros((tile_size, tile_size), dtype=bool)
+    scan = np.arange(tile_size, dtype=np.float64) + 0.5
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for row in grp.itertuples(index=False):
+        xs = np.asarray(row.pxs, dtype=np.float64) * scale
+        ys = np.asarray(row.pys, dtype=np.float64) * scale
+        x1s.append(xs[:-1]); y1s.append(ys[:-1])
+        x2s.append(xs[1:]); y2s.append(ys[1:])
+    if not x1s:
+        return mask
+    x1 = np.concatenate(x1s); y1 = np.concatenate(y1s)
+    x2 = np.concatenate(x2s); y2 = np.concatenate(y2s)
+    keep = y1 != y2  # horizontal edges never cross a scanline boundary pair
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    if not len(x1):
+        return mask
+    cross = ((y1[:, None] <= scan) & (scan < y2[:, None])) | (
+        (y2[:, None] <= scan) & (scan < y1[:, None])
+    )
+    import numpy as _np
+
+    with _np.errstate(divide="ignore", invalid="ignore"):
+        xc = x1[:, None] + (scan - y1[:, None]) * ((x2 - x1)[:, None] / (y2 - y1)[:, None])
+    for yi in range(tile_size):
+        xs_cross = _np.sort(xc[cross[:, yi], yi])
+        for j in range(0, len(xs_cross) - 1, 2):
+            a = max(0, int(_np.ceil(xs_cross[j] - 0.5)))
+            b = min(tile_size - 1, int(_np.floor(xs_cross[j + 1] - 0.5)))
+            if b >= a:
+                mask[yi, a : b + 1] = True
+    return mask
+
+
+def _polyline_mask(rows, tile_size: int, scale: float):
+    """Boolean mask of all polyline pixels (linspace segment sampling)."""
+    import numpy as np
+
+    mask = np.zeros((tile_size, tile_size), dtype=bool)
+    for row in rows:
+        xs = np.asarray(row.pxs, dtype=np.float64) * scale
+        ys = np.asarray(row.pys, dtype=np.float64) * scale
+        for i in range(len(xs) - 1):
+            n = int(max(abs(xs[i + 1] - xs[i]), abs(ys[i + 1] - ys[i]))) + 1
+            px = np.linspace(xs[i], xs[i + 1], n).round().astype(int)
+            py = np.linspace(ys[i], ys[i + 1], n).round().astype(int)
+            ok = (px >= 0) & (px < tile_size) & (py >= 0) & (py < tile_size)
+            mask[py[ok], px[ok]] = True
+    return mask
+
+
+def _blend(img, mask, rgba) -> None:
+    """Source-over alpha compositing (raster-tile.ts compositing path),
+    integer-exact: out = src*sa + dst*(255-sa), /255 rounded."""
+    import numpy as np
+
+    sr, sg, sb, sa = rgba
+    dst = img[mask].astype(np.uint32)
+    src = np.array([sr, sg, sb, 255], dtype=np.uint32)
+    out = (src * sa + dst * (255 - sa) + 127) // 255
+    img[mask] = out.astype(np.uint8)
+
+
 def render_polygon_raster(rings_px: DataFrame, tile_size: int = 256,
                           rgba: tuple[int, int, int, int] = (120, 180, 90, 255)) -> DataFrame:
-    """Scanline even-odd polygon fill (raster-tile.ts:279-330): for every
-    scanline y+0.5, collect crossings of all edges of a feature's rings
-    (outer and holes fill correctly under even-odd), sort, fill between
-    crossing pairs. Crossing computation is vectorized over all edges x
-    all scanlines in NumPy; the fixed fill color keeps pixel writes
-    idempotent, so feature order can't change the output bytes.
+    """Scanline even-odd polygon fill (raster-tile.ts:279-330): fixed fill
+    color keeps pixel writes idempotent, so feature order can't change the
+    output bytes. rings_px: same shape as encode_polygon_mvt input."""
 
-    rings_px: same shape as encode_polygon_mvt input.
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
+        scale = tile_size / mvt.EXTENT
+        for _fid, grp in pdf.sort_values(["feature_id", "ring_index"]).groupby(
+            "feature_id", sort=True
+        ):
+            img[_polygon_mask(grp, tile_size, scale)] = rgba
+        png = _write_png_rgba(img)
+        h = int.from_bytes(hashlib.md5(png).digest()[:8], "big") >> 1
+        return pd.DataFrame(
+            [{"z": z, "tx": tx, "ty": ty, "n_features": int(pdf["feature_id"].nunique()),
+              "content_hash": h, "png": png}]
+        )
+
+    return rings_px.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# composited raster tile (drawToRasterTile, osmix/src/raster.ts:43-100)
+# ---------------------------------------------------------------------------
+
+DEFAULT_AREA_RGBA = (0, 0, 255, 64)       # raster-tile.ts:29
+DEFAULT_LINE_RGBA = (255, 255, 255, 230)  # raster-tile.ts:27
+DEFAULT_POINT_RGBA = (255, 0, 0, 255)     # raster-tile.ts:28
+
+_COMPOSITE_SCHEMA_STR = (
+    "z int, tx long, ty long, kind string, fid long, ring_index int, "
+    "role string, pxs array<int>, pys array<int>"
+)
+
+
+def composite_raster_inputs(points_px: DataFrame | None = None,
+                            ways_px: DataFrame | None = None,
+                            rings_px: DataFrame | None = None) -> DataFrame:
+    """Union the three per-class tile inputs into one discriminated frame
+    for render_composite_raster. points_px from point_tile_px; ways_px as
+    encode_way_mvt; rings_px as encode_polygon_mvt."""
+    frames = []
+    if rings_px is not None:
+        frames.append(rings_px.select(
+            "z", "tx", "ty", F.lit("area").alias("kind"),
+            F.col("feature_id").alias("fid"), "ring_index", "role", "pxs", "pys",
+        ))
+    if ways_px is not None:
+        frames.append(ways_px.select(
+            "z", "tx", "ty", F.lit("line").alias("kind"),
+            F.col("way_id").alias("fid"), F.lit(0).alias("ring_index"),
+            F.lit("").alias("role"), "pxs", "pys",
+        ))
+    if points_px is not None:
+        frames.append(points_px.select(
+            "z", "tx", "ty", F.lit("point").alias("kind"),
+            F.col("id").alias("fid"), F.lit(0).alias("ring_index"),
+            F.lit("").alias("role"),
+            F.array(F.col("px")).alias("pxs"), F.array(F.col("py")).alias("pys"),
+        ))
+    if not frames:
+        raise ValueError("at least one feature class required")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def render_composite_raster(features: DataFrame, tile_size: int = 256,
+                            area_rgba=DEFAULT_AREA_RGBA,
+                            line_rgba=DEFAULT_LINE_RGBA,
+                            point_rgba=DEFAULT_POINT_RGBA) -> DataFrame:
+    """The reference's default raster tile (drawToRasterTile): areas filled
+    first (low-alpha blue), then lines (semi-transparent white), then
+    points (opaque red), source-over composited. Deterministic: painter's
+    order is fixed by class, and within a class every feature blends the
+    same color, so overlap order cannot change the result.
+
+    features: output of composite_raster_inputs.
     """
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -322,44 +466,28 @@ def render_polygon_raster(rings_px: DataFrame, tile_size: int = 256,
         z, tx, ty = int(key[0]), int(key[1]), int(key[2])
         img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
         scale = tile_size / mvt.EXTENT
-        scan = np.arange(tile_size, dtype=np.float64) + 0.5
-        for _fid, grp in pdf.sort_values(["feature_id", "ring_index"]).groupby(
-            "feature_id", sort=True
-        ):
-            x1s, y1s, x2s, y2s = [], [], [], []
-            for row in grp.itertuples(index=False):
-                xs = np.asarray(row.pxs, dtype=np.float64) * scale
-                ys = np.asarray(row.pys, dtype=np.float64) * scale
-                x1s.append(xs[:-1]); y1s.append(ys[:-1])
-                x2s.append(xs[1:]); y2s.append(ys[1:])
-            if not x1s:
-                continue
-            x1 = np.concatenate(x1s); y1 = np.concatenate(y1s)
-            x2 = np.concatenate(x2s); y2 = np.concatenate(y2s)
-            keep = y1 != y2  # horizontal edges never cross a half-integer scanline boundary pair
-            x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
-            if not len(x1):
-                continue
-            # (edges x scanlines) crossing mask: half-open [min_y, max_y)
-            cross = ((y1[:, None] <= scan) & (scan < y2[:, None])) | (
-                (y2[:, None] <= scan) & (scan < y1[:, None])
-            )
-            with np.errstate(divide="ignore", invalid="ignore"):
-                xc = x1[:, None] + (scan - y1[:, None]) * (
-                    (x2 - x1)[:, None] / (y2 - y1)[:, None]
-                )
-            for yi in range(tile_size):
-                xs_cross = np.sort(xc[cross[:, yi], yi])
-                for j in range(0, len(xs_cross) - 1, 2):
-                    a = max(0, int(np.ceil(xs_cross[j] - 0.5)))
-                    b = min(tile_size - 1, int(np.floor(xs_cross[j + 1] - 0.5)))
-                    if b >= a:
-                        img[yi, a : b + 1] = rgba
+        areas = pdf[pdf["kind"] == "area"]
+        for _fid, grp in areas.sort_values(["fid", "ring_index"]).groupby("fid", sort=True):
+            _blend(img, _polygon_mask(grp, tile_size, scale), area_rgba)
+        lines = pdf[pdf["kind"] == "line"]
+        if len(lines):
+            _blend(img, _polyline_mask(
+                lines.sort_values("fid").itertuples(index=False), tile_size, scale
+            ), line_rgba)
+        points = pdf[pdf["kind"] == "point"]
+        if len(points):
+            xs = np.array([p[0] for p in points["pxs"]], dtype=np.float64)
+            ys = np.array([p[0] for p in points["pys"]], dtype=np.float64)
+            xi = (xs * scale).astype(int).clip(0, tile_size - 1)
+            yi = (ys * scale).astype(int).clip(0, tile_size - 1)
+            mask = np.zeros((tile_size, tile_size), dtype=bool)
+            mask[yi, xi] = True
+            _blend(img, mask, point_rgba)
         png = _write_png_rgba(img)
         h = int.from_bytes(hashlib.md5(png).digest()[:8], "big") >> 1
         return pd.DataFrame(
-            [{"z": z, "tx": tx, "ty": ty, "n_features": int(pdf["feature_id"].nunique()),
+            [{"z": z, "tx": tx, "ty": ty, "n_features": int(pdf["fid"].nunique()),
               "content_hash": h, "png": png}]
         )
 
-    return rings_px.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
+    return features.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)

@@ -161,3 +161,39 @@ def test_polygon_raster_fill(spark):
     assert px(128, 128) == b"\x00\x00\x00\x00"     # inside the hole (even-odd)
     assert px(10, 10) == b"\x00\x00\x00\x00"       # outside the polygon
     assert px(200, 64) != b"\x00\x00\x00\x00"      # right band between hole and edge
+
+
+def test_composite_raster_painter_order(spark):
+    import zlib as _zlib
+
+    rings = spark.createDataFrame(
+        [(10, 5, 6, 1, 0, "outer",
+          [512, 3584, 3584, 512, 512], [512, 512, 3584, 3584, 512])],
+        "z int, tx long, ty long, feature_id long, ring_index int, role string, "
+        "pxs array<int>, pys array<int>",
+    )
+    ways = spark.createDataFrame(
+        [(10, 5, 6, 2, [0, 4096], [2048, 2048])],   # horizontal line y=128
+        "z int, tx long, ty long, way_id long, pxs array<int>, pys array<int>",
+    )
+    pts = spark.createDataFrame(
+        [(10, 5, 6, 3, 2048, 2048)],                # point at center (128,128)
+        "z int, tx long, ty long, id long, px int, py int",
+    )
+    feats = tiles.composite_raster_inputs(points_px=pts, ways_px=ways, rings_px=rings)
+    row = tiles.render_composite_raster(feats).collect()[0]
+    assert row["n_features"] == 3
+    png = bytes(row["png"])
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = int.from_bytes(png[idat_start - 8 : idat_start - 4], "big")
+    raw = _zlib.decompress(png[idat_start : idat_start + idat_len])
+    stride = 1 + 256 * 4
+
+    def px(x, y):
+        o = y * stride + 1 + x * 4
+        return tuple(raw[o : o + 4])
+
+    assert px(64, 64) == (0, 0, 64, 64)          # area alone: blue at alpha 64
+    assert px(128, 128) == (255, 0, 0, 255)      # point on top: opaque red wins
+    assert px(64, 128)[0] == 230                  # line over area: white 230 blended
+    assert px(10, 10) == (0, 0, 0, 0)             # empty background
