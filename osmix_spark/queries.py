@@ -1570,3 +1570,18 @@ def geo_knn_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "n_nationkey", F.round("dist_m", 3).alias("dist_m"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@_q("tile_raster_stats")  # rows-only: PNG bytes are not SQL-expressible
+def tile_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 composited raster materialization (drawToRasterTile defaults):
+    document points rendered into 256px PNG tiles at z=10; deterministic
+    content hashes are the comparable output (byte determinism across
+    parallelism is asserted in tests/test_tiles.py)."""
+    from .operators import tiles as tiles_op
+
+    pts = _doc_points(spark, sf_dir).select(F.col("doc_id").alias("id"), "lon", "lat")
+    px = tiles_op.point_tile_px(pts, z=10)
+    feats = tiles_op.composite_raster_inputs(points_px=px)
+    out = tiles_op.render_composite_raster(feats)
+    return out.select("z", "tx", "ty", "n_features", "content_hash").orderBy("tx", "ty")
