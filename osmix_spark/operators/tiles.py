@@ -491,3 +491,85 @@ def render_composite_raster(features: DataFrame, tile_size: int = 256,
         )
 
     return features.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# feature x covering-tile explode (the distributed tile cover, §3.3 step 3)
+# ---------------------------------------------------------------------------
+
+
+def way_tile_px(ways: DataFrame, nodes: DataFrame, z: int,
+                extent: int = mvt.EXTENT) -> DataFrame:
+    """ways(id, refs array<long>) + nodes(id, lon, lat) -> one row per
+    (way, covering tile at z) with extent-space vertex arrays — the input
+    shape of encode_way_mvt / render_line_raster.
+
+    Plan shape: ONE equi-join (J1 way->node resolution), tile fractions
+    computed once per way (transform over the coord arrays — materialized
+    as columns BEFORE the tile explode so the trig never re-runs per
+    tile), then a bounded sequence-explode over the way's bbox tile range
+    (bboxToTileRange, geo/src/tile.ts:66-79).
+    """
+    refs = ways.select(F.col("id").alias("way_id"),
+                       F.posexplode("refs").alias("seq", "ref"))
+    coords = (
+        refs.join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref")
+        .groupBy("way_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seq", "lon", "lat"))).alias("s"))
+        .select("way_id", F.col("s.lon").alias("lons"), F.col("s.lat").alias("lats"))
+    )
+    zc = F.lit(z)
+    proj = coords.select(
+        "way_id",
+        F.transform("lons", lambda v: geo.tile_x_fraction(v, zc)).alias("xfs"),
+        F.transform("lats", lambda v: geo.tile_y_fraction(v, zc)).alias("yfs"),
+    )
+    exploded = (
+        proj.withColumn(
+            "tx", F.explode(F.sequence(
+                F.floor(F.array_min("xfs")).cast("long"),
+                F.floor(F.array_max("xfs")).cast("long"),
+            ))
+        )
+        .withColumn(
+            "ty", F.explode(F.sequence(
+                F.floor(F.array_min("yfs")).cast("long"),
+                F.floor(F.array_max("yfs")).cast("long"),
+            ))
+        )
+    )
+    return exploded.select(
+        F.lit(z).cast("int").alias("z"), "tx", "ty", "way_id",
+        F.transform("xfs", lambda v: F.round((v - F.col("tx")) * extent).cast("int")).alias("pxs"),
+        F.transform("yfs", lambda v: F.round((v - F.col("ty")) * extent).cast("int")).alias("pys"),
+    )
+
+
+def ring_tile_px(rings: DataFrame, z: int, extent: int = mvt.EXTENT) -> DataFrame:
+    """rings (relation_id, ring_index, role, lons, lats — the output of
+    rings.assemble_relation_rings) -> one row per (ring, covering tile of
+    the FEATURE bbox) in extent space — the input of encode_polygon_mvt /
+    render_polygon_raster. All rings of a feature replicate to every tile
+    the feature's bbox covers, so holes fill correctly in every tile."""
+    zc = F.lit(z)
+    proj = rings.select(
+        F.col("relation_id").alias("feature_id"), "ring_index", "role",
+        F.transform("lons", lambda v: geo.tile_x_fraction(v, zc)).alias("xfs"),
+        F.transform("lats", lambda v: geo.tile_y_fraction(v, zc)).alias("yfs"),
+    )
+    bounds = proj.groupBy("feature_id").agg(
+        F.floor(F.min(F.array_min("xfs"))).cast("long").alias("tx0"),
+        F.floor(F.max(F.array_max("xfs"))).cast("long").alias("tx1"),
+        F.floor(F.min(F.array_min("yfs"))).cast("long").alias("ty0"),
+        F.floor(F.max(F.array_max("yfs"))).cast("long").alias("ty1"),
+    )
+    exploded = (
+        proj.join(bounds, "feature_id")
+        .withColumn("tx", F.explode(F.sequence("tx0", "tx1")))
+        .withColumn("ty", F.explode(F.sequence("ty0", "ty1")))
+    )
+    return exploded.select(
+        F.lit(z).cast("int").alias("z"), "tx", "ty", "feature_id", "ring_index", "role",
+        F.transform("xfs", lambda v: F.round((v - F.col("tx")) * extent).cast("int")).alias("pxs"),
+        F.transform("yfs", lambda v: F.round((v - F.col("ty")) * extent).cast("int")).alias("pys"),
+    )

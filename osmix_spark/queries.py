@@ -1585,3 +1585,28 @@ def tile_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tiles_op.composite_raster_inputs(points_px=px)
     out = tiles_op.render_composite_raster(feats)
     return out.select("z", "tx", "ty", "n_features", "content_hash").orderBy("tx", "ty")
+
+
+@_q("tile_way_mvt_stats")  # rows-only: protobuf bytes are not SQL-expressible
+def tile_way_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §3.3 tile pipeline for line features: way->node resolution
+    (J1), feature x covering-tile explode (way_tile_px, tile fractions
+    materialized before the explode), per-tile MVT encode. lineitem plays
+    way_refs, part plays nodes."""
+    from .operators import tiles as tiles_op
+
+    # deterministic ref order at any parallelism: sort by (linenumber,
+    # partkey) — l_linenumber is NOT unique per order in this testdata
+    refs = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("id")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_partkey"))
+        ).getField("l_partkey").alias("refs")
+    )
+    nodes = _part_points(spark, sf_dir).select(
+        F.col("p_partkey").alias("id"), "lon", "lat"
+    )
+    px = tiles_op.way_tile_px(refs, nodes, z=12)
+    out = tiles_op.encode_way_mvt(px)
+    return out.select("z", "tx", "ty", "n_features", "size_bytes", "content_hash")

@@ -197,3 +197,42 @@ def test_composite_raster_painter_order(spark):
     assert px(128, 128) == (255, 0, 0, 255)      # point on top: opaque red wins
     assert px(64, 128)[0] == 230                  # line over area: white 230 blended
     assert px(10, 10) == (0, 0, 0, 0)             # empty background
+
+
+def test_way_tile_px_spans_tiles(spark):
+    from osmix_spark.functions import geo as _geo
+    from osmix_spark.sources import fixtures
+
+    # a way crossing a z1 tile boundary at lon 0
+    nodes = spark.createDataFrame(
+        [(1, -10.0, 10.0, None), (2, 10.0, 10.0, None)], fixtures.NODE_SCHEMA
+    )
+    ways = spark.createDataFrame([(7, [1, 2], None)], fixtures.WAY_SCHEMA)
+    out = tiles.way_tile_px(ways, nodes, z=1).collect()
+    assert {(r["tx"], r["ty"]) for r in out} == {(0, 0), (1, 0)}
+    for r in out:
+        assert len(r["pxs"]) == 2 and len(r["pys"]) == 2
+    # in tile (1,0) the western vertex is left of the tile edge (negative px)
+    west = {r["tx"]: r["pxs"][0] for r in out}
+    assert west[1] < 0 <= west[0]
+    # end-to-end: the exploded rows encode into valid MVT tiles
+    enc = tiles.encode_way_mvt(tiles.way_tile_px(ways, nodes, z=1)).collect()
+    assert len(enc) == 2 and all(r["n_features"] == 1 for r in enc)
+
+
+def test_ring_tile_px_replicates_holes(spark):
+    rings = spark.createDataFrame(
+        [(100, 0, "outer", [-10.0, 10.0, 10.0, -10.0, -10.0],
+          [-5.0, -5.0, 5.0, 5.0, -5.0]),
+         (100, 1, "inner", [-8.0, -6.0, -6.0, -8.0, -8.0],
+          [-2.0, -2.0, 2.0, 2.0, -2.0])],   # hole only in the western half
+        "relation_id long, ring_index int, role string, "
+        "lons array<double>, lats array<double>",
+    )
+    out = tiles.ring_tile_px(rings, z=1).collect()
+    # lat +-5 straddles the equator tile edge too: the feature bbox covers
+    # all four z1 tiles, and BOTH rings replicate to every covering tile
+    by_tile = {}
+    for r in out:
+        by_tile.setdefault((r["tx"], r["ty"]), set()).add(r["ring_index"])
+    assert by_tile == {(x, y): {0, 1} for x in (0, 1) for y in (0, 1)}
