@@ -180,24 +180,20 @@ def find_intersection_points(ways: DataFrame, nodes: DataFrame, z: int = 13) -> 
     boxes = wc.select("id", "tags", "ordered_refs", "lons", "lats", "minx", "miny", "maxx", "maxy")
     a = boxes.select(*[F.col(c).alias(f"a_{c}") for c in boxes.columns])
     b = boxes.select(*[F.col(c).alias(f"b_{c}") for c in boxes.columns])
-    ax = a.withColumn(
-        "__cell",
-        F.explode(spatial.cover_cells(F.col("a_minx"), F.col("a_miny"), F.col("a_maxx"), F.col("a_maxy"), z)),
-    )
-    bx = b.withColumn(
-        "__cell",
-        F.explode(spatial.cover_cells(F.col("b_minx"), F.col("b_miny"), F.col("b_maxx"), F.col("b_maxy"), z)),
+    # exact adaptive-cover candidate join (no truncation for long ways)
+    cands = spatial.overlap_candidate_pairs(
+        a, b, z,
+        ("a_minx", "a_miny", "a_maxx", "a_maxy"),
+        ("b_minx", "b_miny", "b_maxx", "b_maxy"),
     )
     overlap = geo.bbox_intersects(
         F.col("a_minx"), F.col("a_miny"), F.col("a_maxx"), F.col("a_maxy"),
         F.col("b_minx"), F.col("b_miny"), F.col("b_maxx"), F.col("b_maxy"),
     )
     pairs = (
-        ax.join(bx, "__cell")
-        .filter(F.col("a_id") < F.col("b_id"))
+        cands.filter(F.col("a_id") < F.col("b_id"))
         .filter(overlap)
         .filter(ways_should_connect(F.col("a_tags"), F.col("b_tags")))
-        .drop("__cell")
         .dropDuplicates(["a_id", "b_id"])
     )
 
@@ -259,10 +255,29 @@ def create_intersections(ways: DataFrame, nodes: DataFrame, z: int = 13):
     creates = real.filter(F.col("near_a").isNull() & F.col("near_b").isNull())
 
     max_id = nodes.agg(F.max("id")).collect()[0][0] or 0
-    w = Window.orderBy("px", "py")
+    # deterministic distributed id allocation: rank within cell partitions +
+    # per-cell offsets (the tiny offsets window runs over #cells rows, not
+    # #creates — no single-task global window at scale)
+    distinct_pts = creates.select("px", "py").distinct().withColumn(
+        "__cell", geo.cell_key(F.col("px"), F.col("py"), F.lit(z))
+    )
+    offs = (
+        distinct_pts.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__cell").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__n")
+    )
+    w = Window.partitionBy("__cell").orderBy("px", "py")
     new_nodes = (
-        creates.select("px", "py").distinct()
-        .withColumn("id", F.lit(max_id) + F.dense_rank().over(w))
+        distinct_pts.join(F.broadcast(offs), "__cell")
+        .withColumn("id", F.lit(max_id) + F.col("__off") + F.row_number().over(w))
         .select(
             "id", F.col("px").alias("lon"), F.col("py").alias("lat"),
             F.create_map(F.lit("crossing"), F.lit("yes")).alias("tags"),

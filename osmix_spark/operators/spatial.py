@@ -95,6 +95,47 @@ def _explode_neighbors(df: DataFrame, lon: str, lat: str, z: int, ring: int = 1,
     )
 
 
+def neighbor_block_multilevel(tx: Column, ty: Column, z: int, ring: int) -> Column:
+    """All cell keys whose cell intersects the (2*ring+1)^2 tile block around
+    (tx, ty) at zoom z, at EVERY level 0..z — i.e. the block plus all its
+    ancestors. This is what a point query must probe to meet boxes covered
+    at a per-row adaptive (possibly coarse) zoom. x wraps at the
+    antimeridian, y clamps at the poles. ~4/3*(2r+1)^2 + O(z) keys.
+
+    Sequence-range based (no unrolled per-neighbor expressions), so codegen
+    stays small at any ring size."""
+    n = 1 << z
+
+    def level_cells(i: int) -> Column:
+        ni = 1 << (z - i)
+        si = F.lit(i)
+        x_lo, x_hi = _shr(tx - ring, si), _shr(tx + ring, si)
+        y_lo = _shr(F.greatest(ty - ring, F.lit(0).cast("long")), si)
+        y_hi = _shr(F.least(ty + ring, F.lit(n - 1).cast("long")), si)
+        zc = F.lit(z - i).cast("long")
+
+        def per_x(x: Column) -> Column:
+            return F.transform(
+                F.sequence(y_lo, y_hi),
+                lambda y: _pack_cell(zc, ((x % ni) + ni) % ni, y),
+            )
+
+        return F.flatten(F.transform(F.sequence(x_lo, x_hi), per_x))
+
+    return F.array_distinct(F.concat(*[level_cells(i) for i in range(z + 1)]))
+
+
+def _explode_neighbors_multilevel(df: DataFrame, lon: str, lat: str, z: int,
+                                  ring: int, out: str = "__cell") -> DataFrame:
+    return (
+        df.withColumn("__tx", geo.tile_x(F.col(lon), F.lit(z)))
+        .withColumn("__ty", geo.tile_y(F.col(lat), F.lit(z)))
+        .withColumn(out, F.explode(
+            neighbor_block_multilevel(F.col("__tx"), F.col("__ty"), z, ring)))
+        .drop("__tx", "__ty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # J2 — bbox query
 # ---------------------------------------------------------------------------
@@ -234,42 +275,122 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
 # ---------------------------------------------------------------------------
 # J5 — bbox-overlap join
 # ---------------------------------------------------------------------------
+#
+# Cover strategy (replaces the round-1 clamped fixed-zoom cover, which could
+# silently MISS pairs for geometries spanning >16 tiles): each bbox gets an
+# EXACT "split cover" of <= 4 cells at a per-row adaptive zoom — the finest
+# zeff <= z where the box spans <= 2 tiles per axis (the MX-CIF quadtree
+# assignment, split into up to 4 siblings so a box straddling a coarse cell
+# boundary doesn't degrade to the root cell). Two covers of overlapping
+# boxes always contain a common point p, so the cell of A containing p and
+# the cell of B containing p are ancestor-related; the join therefore
+# matches (cover + ancestors of cover) against (cover) in both directions.
+#
+# Scale: <= 4 + 4*z keys per row (typically ~z+1), all equi-joins. Coarse
+# ancestor keys appear on the *ancestors* side for every row but on the
+# *cover* side only for genuinely huge geometries, so the per-key join
+# cardinality stays output-proportional (sort-merge / AQE handles the rest).
 
-def cover_cells(west, south, east, north, z: int, max_cells: int = 256) -> Column:
-    """Array of cell keys covering a bbox at zoom z (bboxToTileRange,
-    tile.ts:66-79). Capped: a bbox spanning more than max_cells falls back
-    to a coarser implicit coverage by clamping the range (callers pick z so
-    typical boxes cover a handful of cells)."""
+
+def _shr(x: Column, s: Column) -> Column:
+    """x >> s with a column shift amount (tile coords < 2^29: double-exact)."""
+    return F.floor(x.cast("double") / F.pow(F.lit(2.0), s.cast("double"))).cast("long")
+
+
+def _pack_cell(z: Column, x: Column, y: Column) -> Column:
+    return F.shiftleft(z.cast("long"), 58) + F.shiftleft(x.cast("long"), 29) + y.cast("long")
+
+
+def adaptive_cover_cells(west, south, east, north, z: int) -> Column:
+    """EXACT bbox cover: <= 4 cell keys at a per-row adaptive zoom zeff <= z
+    (finest level where the box spans <= 2 tiles per axis). Never truncates:
+    a continent-sized box simply covers at a coarser level."""
     x0, x1 = geo.tile_x(west, F.lit(z)), geo.tile_x(east, F.lit(z))
     y0, y1 = geo.tile_y(north, F.lit(z)), geo.tile_y(south, F.lit(z))  # y grows south
-    xs = F.sequence(x0, F.least(x1, x0 + int(math.isqrt(max_cells)) - 1))
-    ys = F.sequence(y0, F.least(y1, y0 + int(math.isqrt(max_cells)) - 1))
+    # levels to coarsen: smallest s with 2^s >= max span (then the shifted
+    # ranges span <= 2 tiles per axis — proof: x1>>s - x0>>s <= 1 iff
+    # x1 - x0 <= 2^s for any alignment)
+    d = F.greatest(x1 - x0, y1 - y0, F.lit(1).cast("long"))
+    s = F.ceil(F.log2(d.cast("double"))).cast("int")
+    zeff = (F.lit(z) - s).cast("long")
+    xs = F.sequence(_shr(x0, s), _shr(x1, s))
+    ys = F.sequence(_shr(y0, s), _shr(y1, s))
     pairs = F.flatten(F.transform(xs, lambda x: F.transform(ys, lambda y: F.struct(x.alias("x"), y.alias("y")))))
-    zc = F.lit(z).cast("long")
-    return F.transform(pairs, lambda p: F.shiftleft(zc, 58) + F.shiftleft(p.x, 29) + p.y)
+    return F.transform(pairs, lambda p: _pack_cell(zeff, p.x, p.y))
+
+
+def cover_with_ancestors(cover: Column) -> Column:
+    """cover (array of packed cells, all at one level) -> cover plus every
+    ancestor cell of each cover cell up to level 0, distinct. <= 4 + 4*z
+    keys; sibling cells share most ancestors so typically ~cover + z."""
+    mask = (1 << 29) - 1
+    anc = F.flatten(
+        F.transform(
+            cover,
+            lambda c: F.transform(
+                F.sequence(F.lit(1), F.shiftright(c, 58).cast("int")),
+                lambda i: _pack_cell(
+                    F.shiftright(c, 58) - i,
+                    _shr(F.shiftright(c, 29).bitwiseAND(F.lit(mask)), i),
+                    _shr(c.bitwiseAND(F.lit(mask)), i),
+                ),
+            ),
+        )
+    )
+    return F.array_distinct(F.concat(cover, anc))
+
+
+def strict_ancestors(cover: Column) -> Column:
+    """Ancestors only (cover excluded) — the second join direction uses this
+    so equal-level pairs aren't matched twice."""
+    return F.array_distinct(F.array_except(cover_with_ancestors(cover), cover))
+
+
+def cover_cells(west, south, east, north, z: int, max_cells: int = 256) -> Column:
+    """Back-compat shim: the exact adaptive split cover (the max_cells cap
+    is obsolete — coverage is now always exact at <= 4 cells)."""
+    return adaptive_cover_cells(west, south, east, north, z)
+
+
+def overlap_candidate_pairs(ax: DataFrame, bx: DataFrame, z: int,
+                            a_box: tuple[str, str, str, str],
+                            b_box: tuple[str, str, str, str]) -> DataFrame:
+    """Coarse phase of a bbox-overlap join: all candidate (a, b) row pairs
+    whose adaptive covers are ancestor-related (superset of true overlaps).
+    ax/bx: pre-aliased frames; *_box name their bbox columns. The caller
+    applies the exact predicate and pair dedupe."""
+    a_cov = adaptive_cover_cells(*[F.col(c) for c in a_box], z)
+    b_cov = adaptive_cover_cells(*[F.col(c) for c in b_box], z)
+    a_self = ax.withColumn("__cell", F.explode(a_cov))
+    a_anc = ax.withColumn("__cell", F.explode(cover_with_ancestors(a_cov)))
+    b_self = bx.withColumn("__cell", F.explode(b_cov))
+    b_anc = bx.withColumn("__cell", F.explode(strict_ancestors(b_cov)))
+    # zeff_b <= zeff_a pairs meet at level zeff_b; zeff_a < zeff_b at zeff_a
+    j1 = a_anc.join(b_self, "__cell")
+    j2 = a_self.join(b_anc, "__cell")
+    return j1.unionByName(j2).drop("__cell")
 
 
 def bbox_overlap_join(a: DataFrame, b: DataFrame, z: int = 12,
                       a_cols=("minx", "miny", "maxx", "maxy"),
                       b_cols=("minx", "miny", "maxx", "maxy")) -> DataFrame:
-    """All (a, b) pairs whose bboxes overlap (J5). Coarse: both sides explode
-    to covering cells at z and equi-join; fine: exact overlap + inverted-bbox
-    guard; pair-dedupe via distinct on the two row sets' columns."""
+    """All (a, b) pairs whose bboxes overlap (J5). Coarse: adaptive split
+    covers + ancestor equi-joins (exact for ANY box size); fine: exact
+    overlap + inverted-bbox guard; pair-dedupe via distinct."""
     aw, as_, ae, an = a_cols
     bw, bs, be, bn = b_cols
-    ax = a.select(*[F.col(c).alias(f"a_{c}") for c in a.columns]).withColumn(
-        "__cell", F.explode(cover_cells(F.col(f"a_{aw}"), F.col(f"a_{as_}"),
-                                        F.col(f"a_{ae}"), F.col(f"a_{an}"), z))
-    )
-    bx = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns]).withColumn(
-        "__cell", F.explode(cover_cells(F.col(f"b_{bw}"), F.col(f"b_{bs}"),
-                                        F.col(f"b_{be}"), F.col(f"b_{bn}"), z))
+    ax = a.select(*[F.col(c).alias(f"a_{c}") for c in a.columns])
+    bx = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+    cands = overlap_candidate_pairs(
+        ax, bx, z,
+        (f"a_{aw}", f"a_{as_}", f"a_{ae}", f"a_{an}"),
+        (f"b_{bw}", f"b_{bs}", f"b_{be}", f"b_{bn}"),
     )
     overlap = geo.bbox_intersects(
         F.col(f"a_{aw}"), F.col(f"a_{as_}"), F.col(f"a_{ae}"), F.col(f"a_{an}"),
         F.col(f"b_{bw}"), F.col(f"b_{bs}"), F.col(f"b_{be}"), F.col(f"b_{bn}"),
     )
-    return ax.join(bx, "__cell").filter(overlap).drop("__cell").distinct()
+    return cands.filter(overlap).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +489,7 @@ def knn_bbox_join(queries: DataFrame, boxes: DataFrame, k: int,
     ).select(
         F.col(box_id).alias("__bid"), "minx", "miny", "maxx", "maxy",
         F.explode(
-            cover_cells(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), z)
+            adaptive_cover_cells(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), z)
         ).alias("__cell"),
     )
     remaining = queries.select(
@@ -381,8 +502,12 @@ def knn_bbox_join(queries: DataFrame, boxes: DataFrame, k: int,
     results: DataFrame | None = None
     ring = 1
     while True:
+        # multilevel probe: boxes are covered at a per-row adaptive zoom
+        # (possibly coarser than z), so the query emits its neighbor block
+        # plus every ancestor of the block — any box cell intersecting the
+        # block is an ancestor of some block cell and therefore matches
         cand = (
-            _explode_neighbors(remaining, "__qlon", "__qlat", z, ring)
+            _explode_neighbors_multilevel(remaining, "__qlon", "__qlat", z, ring)
             .join(b, "__cell")
             .dropDuplicates(["__qid", "__bid"])
         )

@@ -388,11 +388,14 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     "geo_bbox_overlap_join",
     f"""
     WITH boxes AS (
+      -- n_nationkey = 0 gets a wide box spanning >> 16 tiles at z=11: the
+      -- regression case for exact (non-truncated) bbox coverage
       SELECT n_nationkey,
-             ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) - 0.03 AS minx,
-             ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) - 0.03 AS miny,
-             ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) + 0.03 AS maxx,
-             ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) + 0.03 AS maxy
+             (CASE WHEN n_nationkey = 0 THEN 4.0 ELSE 0.03 END) AS half,
+             ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) - half AS minx,
+             ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) - half AS miny,
+             ({synth.CENTROID_LON} + (n_nationkey % {synth.NUM_CLUSTERS})::DOUBLE * {synth.CLUSTER_STEP_LON}) + half AS maxx,
+             ({synth.CENTROID_LAT} + ((n_nationkey % {synth.NUM_CLUSTERS}) % 3)::DOUBLE * {synth.CLUSTER_STEP_LAT}) + half AS maxy
       FROM nation
     ),
     dboxes AS (
@@ -412,10 +415,12 @@ def geo_bbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid = F.col("n_nationkey") % synth.NUM_CLUSTERS
     clon = F.lit(synth.CENTROID_LON) + cid.cast("double") * synth.CLUSTER_STEP_LON
     clat = F.lit(synth.CENTROID_LAT) + (cid % 3).cast("double") * synth.CLUSTER_STEP_LAT
+    # nation 0's wide box spans >> 16 tiles at z=11 (exact-coverage case)
+    half = F.when(F.col("n_nationkey") == 0, F.lit(4.0)).otherwise(F.lit(0.03))
     boxes = _t(spark, sf_dir, "nation").select(
         "n_nationkey",
-        (clon - 0.03).alias("minx"), (clat - 0.03).alias("miny"),
-        (clon + 0.03).alias("maxx"), (clat + 0.03).alias("maxy"),
+        (clon - half).alias("minx"), (clat - half).alias("miny"),
+        (clon + half).alias("maxx"), (clat + half).alias("maxy"),
     )
     pts = _doc_points(spark, sf_dir)
     dboxes = pts.select(

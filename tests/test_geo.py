@@ -137,3 +137,80 @@ def test_knn_bbox_join(spark):
     # distance to box 1 = haversine to its nearest edge point (0.01, 0)
     d1 = [r["dist_m"] for r in out if r["id"] == 1][0]
     assert abs(d1 - 1113.2) < 5  # 0.01 deg lon at equator
+
+
+def test_bbox_overlap_join_wide_boxes_exact(spark):
+    """Adaptive split cover must find ALL overlapping pairs regardless of
+    box size (regression for the round-1 16x16-cell clamp): compare against
+    a brute-force cross-join oracle over a mix of tiny, long-thin,
+    continent-sized, and world-spanning boxes."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators import spatial
+
+    rows = []
+    # grid of tiny boxes
+    for i in range(40):
+        cx, cy = -30.0 + (i % 8) * 2.0, 10.0 + (i // 8) * 2.0
+        rows.append((i, cx - 0.01, cy - 0.01, cx + 0.01, cy + 0.01))
+    # long thin "way" boxes (span >> 16 tiles at z=12)
+    rows.append((100, -31.0, 10.0, 20.0, 10.001))
+    rows.append((101, -25.0, 5.0, -24.999, 40.0))
+    # continent-sized and world-spanning
+    rows.append((102, -40.0, 0.0, 30.0, 50.0))
+    rows.append((103, -179.9, -85.0, 179.9, 85.0))
+    a = spark.createDataFrame(rows, "id long, minx double, miny double, maxx double, maxy double")
+    b = a.select(*[F.col(c).alias(c) for c in a.columns])
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in spatial.bbox_overlap_join(a, b, z=12).collect()
+    }
+    import itertools
+
+    def overlaps(p, q):
+        return not (p[3] < q[1] or q[3] < p[1] or p[4] < q[2] or q[4] < p[2])
+
+    want = {
+        (p[0], q[0]) for p, q in itertools.product(rows, rows) if overlaps(p, q)
+    }
+    assert got == want
+
+
+def test_adaptive_cover_is_exact_and_small(spark):
+    """Every cover is <= 4 cells and its union contains the box."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators import spatial
+
+    boxes = spark.createDataFrame(
+        [(1, -0.001, -0.001, 0.001, 0.001), (2, -170.0, -80.0, 170.0, 80.0),
+         (3, 10.0, 10.0, 10.0001, 45.0), (4, -100.0, 30.0, -20.0, 30.0001)],
+        "id long, minx double, miny double, maxx double, maxy double",
+    )
+    out = boxes.select(
+        "id", "minx", "miny", "maxx", "maxy",
+        spatial.adaptive_cover_cells(
+            F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), 12
+        ).alias("cover"),
+    ).collect()
+    for r in out:
+        assert 1 <= len(r["cover"]) <= 4
+        zs = {k >> 58 for k in r["cover"]}
+        assert len(zs) == 1  # one level per cover
+        z = zs.pop()
+        n = 1 << z
+        # union of cover tiles contains the box corners
+        import math as m
+
+        def txy(lon, lat):
+            xf = (lon / 360.0 + 0.5) * n
+            s = m.sin(m.radians(lat))
+            yf = (0.5 - 0.25 * m.log((1 + s) / (1 - s)) / m.pi) * n
+            return (min(max(int(m.floor(xf)), 0), n - 1),
+                    min(max(int(m.floor(yf)), 0), n - 1))
+
+        cells = {((k >> 29) & ((1 << 29) - 1), k & ((1 << 29) - 1)) for k in r["cover"]}
+        for lon, lat in [(r["minx"], r["miny"]), (r["maxx"], r["maxy"]),
+                         (r["minx"], r["maxy"]), (r["maxx"], r["miny"])]:
+            assert txy(lon, lat) in cells
