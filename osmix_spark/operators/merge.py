@@ -12,8 +12,9 @@ intersection creation. Re-expressed as DataFrame jobs:
 - replacement-chain flattening (changeset.ts:57-77): bounded iterative join
   with cycle guard.
 - way-ref rewriting + adjacent-duplicate removal (change/src/utils.ts:54-66).
-- duplicate-way dedupe (J8, changeset.ts:452-511): geometry-hash candidates,
-  exact ref-sequence equality, same survivor rule.
+- duplicate-way dedupe (J8, changeset.ts:440-511): geometry-hash candidates
+  plus the isWayEqual property-equality path; survivor = best (version,
+  tag-count) with ties to the MIN id (Math.min at changeset.ts:497).
 - direct merge / last-write-wins upsert (J9, changeset.ts:732-780).
 - apply-changeset materialization (apply-changeset.ts:37-122): base minus
   deletes, overridden by modifies, plus creates.
@@ -179,10 +180,20 @@ def rewrite_way_refs(ways: DataFrame, repl: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
-    """Replacement map (from way id -> surviving way id) for geometrically
-    identical ways (changeset.ts:452-511): candidates share a geometry hash
-    (exact coordinate sequence); survivor by (version desc, tag-count desc,
-    id desc) — same normalized rule as nodes.
+    """Replacement map (from way id -> surviving way id) for duplicate ways
+    (changeset.ts:440-511). Two candidate paths, exactly as the reference:
+
+    - geometry path: ways with identical resolved coordinate sequences are
+      duplicates when the better way has a higher version, or an equal
+      version and >= tag count (changeset.ts:477-489);
+    - property path (isWayEqual, changeset.ts:474): ways whose refs AND tags
+      are identical are duplicates regardless of geometry resolution (also
+      catches ways whose refs point at nodes missing from the node layer).
+
+    Survivor per duplicate group: best (version desc, tag-count desc), ties
+    resolved to the MIN id — the reference reduces multi-candidate groups
+    with Math.min(...survivorIds) (changeset.ts:497). Nodes differ: their
+    pairwise `>=` branch routes equal ties to Math.max (changeset.ts:276-287).
 
     ways: (id, refs, tags); nodes: (id, lon, lat, ...).
     """
@@ -201,20 +212,45 @@ def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
             ).alias("geom_hash"),
         )
     )
+    canon_tags = F.when(
+        F.col("tags").isNotNull(),
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(F.col("tags"))))),
+    ).otherwise(F.lit("{}"))
     ranked = ways.select(
         "id",
         entity_version(F.col("tags")).alias("version"),
         tag_count(F.col("tags")).alias("ntags"),
-    ).join(coords, "id")
-    w = Window.partitionBy("geom_hash").orderBy(
-        F.desc("version"), F.desc("ntags"), F.desc("id")
+        portable_hash64(
+            F.concat_ws("|", F.to_json(F.struct(F.col("refs").alias("r"))), canon_tags),
+            "wayprops",
+        ).alias("prop_hash"),
+    ).join(coords, "id", "left")
+
+    def group_map(key: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(
+            F.desc("version"), F.desc("ntags"), F.asc("id")
+        )
+        groups = ranked.filter(F.col(key).isNotNull()).withColumn(
+            "__rn", F.row_number().over(w)
+        )
+        winners = groups.filter(F.col("__rn") == 1).select(
+            key, F.col("id").alias("to_id"),
+            F.col("version").alias("w_version"), F.col("ntags").alias("w_ntags"),
+        )
+        losers = groups.filter(F.col("__rn") > 1).select(key, F.col("id").alias("from_id"))
+        return losers.join(winners, key).select("from_id", "to_id", "w_version", "w_ntags")
+
+    both = group_map("geom_hash").unionByName(group_map("prop_hash"))
+    # a way claimed by both paths keeps the better winner (then min id)
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("w_version"), F.desc("w_ntags"), F.asc("to_id")
     )
-    groups = ranked.withColumn("__rn", F.row_number().over(w))
-    winners = groups.filter(F.col("__rn") == 1).select(
-        "geom_hash", F.col("id").alias("to_id")
+    repl = (
+        both.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("from_id", "to_id")
     )
-    losers = groups.filter(F.col("__rn") > 1).select("geom_hash", F.col("id").alias("from_id"))
-    return losers.join(winners, "geom_hash").select("from_id", "to_id")
+    return flatten_replacements(repl)
 
 
 # ---------------------------------------------------------------------------

@@ -486,6 +486,59 @@ def osm_dedupe_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "osm_dedupe_ways",
+    """
+    WITH w AS (
+      SELECT doc_id AS id, doc_id % 4 AS m,
+             CASE WHEN doc_id % 4 < 3 THEN doc_id - (doc_id % 4) ELSE doc_id END AS src
+      FROM documents
+    ),
+    v AS (
+      SELECT id, src,
+             CASE WHEN m < 3 THEN (CASE WHEN (src // 4) % 2 = 0 THEN 1 ELSE m END)
+                  ELSE 0 END AS version
+      FROM w
+    ),
+    -- refs are a pure function of (src % 150) and node positions are
+    -- injective in ref, so geometry groups == (src % 150) groups
+    ranked AS (
+      SELECT id, version,
+             row_number() OVER (PARTITION BY src % 150 ORDER BY version DESC, id ASC) AS rn,
+             first_value(id) OVER (PARTITION BY src % 150 ORDER BY version DESC, id ASC) AS survivor
+      FROM v
+    )
+    SELECT id AS from_id, survivor AS to_id FROM ranked WHERE rn > 1
+    """,
+)
+def osm_dedupe_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 at scale (changeset.ts:440-511): duplicate-way dedupe over a
+    synthesized way layer with planted 3-way duplicate groups — half the
+    trios are full (version, tag-count) ties exercising the reference's
+    Math.min survivor (changeset.ts:497), the other half have graded
+    versions. Output is the flattened replacement map."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    src = F.when(m < 3, F.col("doc_id") - m).otherwise(F.col("doc_id"))
+    version = F.when(
+        m < 3,
+        F.when(F.floor(src / 4).cast("long") % 2 == 0, F.lit(1)).otherwise(m),
+    ).otherwise(F.lit(0))
+    ways = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: ((src % 150) * 49 + j * 37) % 150,
+        ).alias("refs"),
+        F.create_map(
+            F.lit("ext:osm_version"), version.cast("string")
+        ).alias("tags"),
+    )
+    nodes = _grid_nodes(spark, sf_dir)
+    repl = merge.dedupe_ways(ways, nodes)
+    return repl.select("from_id", "to_id")
+
+
+@_q(
     "osm_merge_lww",
     """
     WITH base AS (

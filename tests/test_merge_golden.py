@@ -145,3 +145,55 @@ def test_dedupe_ways_geometry_hash(spark):
     )
     repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_ways(ways, nodes).collect()}
     assert repl == {(100, 101)}
+
+
+def test_dedupe_ways_three_way_tie_min_id_survives(spark):
+    """changeset.ts:497 Math.min(...survivorIds): a >=3-way group of equal
+    (version, tag-count) duplicate ways resolves to the MIN id (ways differ
+    from nodes, whose equal ties keep the max, changeset.ts:276-287)."""
+    nodes = spark.createDataFrame(
+        [(1, 1.0, 1.0, None), (2, 2.0, 2.0, None)], fixtures.NODE_SCHEMA
+    )
+    ways = spark.createDataFrame(
+        [
+            (300, [1, 2], {"ext:osm_version": "2"}),
+            (100, [1, 2], {"ext:osm_version": "2"}),
+            (200, [1, 2], {"ext:osm_version": "2"}),
+        ],
+        fixtures.WAY_SCHEMA,
+    )
+    repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_ways(ways, nodes).collect()}
+    assert repl == {(200, 100), (300, 100)}
+
+
+def test_dedupe_ways_property_equality_path(spark):
+    """isWayEqual (changeset.ts:474): ways with identical refs + tags are
+    duplicates even when their refs can't be resolved to geometry (nodes
+    missing from the node layer)."""
+    nodes = spark.createDataFrame([(1, 1.0, 1.0, None)], fixtures.NODE_SCHEMA)
+    ways = spark.createDataFrame(
+        [
+            (10, [7, 8], {"highway": "service"}),  # refs 7,8 unresolvable
+            (11, [7, 8], {"highway": "service"}),
+            (12, [7, 9], {"highway": "service"}),  # different refs -> kept
+        ],
+        fixtures.WAY_SCHEMA,
+    )
+    repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_ways(ways, nodes).collect()}
+    assert repl == {(11, 10)}
+
+
+def test_dedupe_ways_version_beats_id(spark):
+    nodes = spark.createDataFrame(
+        [(1, 1.0, 1.0, None), (2, 2.0, 2.0, None)], fixtures.NODE_SCHEMA
+    )
+    ways = spark.createDataFrame(
+        [
+            (100, [1, 2], {"ext:osm_version": "1"}),
+            (200, [1, 2], {"ext:osm_version": "3"}),  # higher version wins
+            (300, [1, 2], {"ext:osm_version": "2"}),
+        ],
+        fixtures.WAY_SCHEMA,
+    )
+    repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_ways(ways, nodes).collect()}
+    assert repl == {(100, 200), (300, 200)}
