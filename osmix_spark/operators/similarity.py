@@ -86,7 +86,13 @@ def lsh_signature(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
         import pandas as pd
 
         mat = np.stack(v.to_numpy())  # (batch, dim)
-        bits = (mat @ all_planes.T) > 0  # (batch, L*b)
+        # sequential accumulation over dims (NOT matmul): bit-identical to a
+        # left-fold dot product, so the DuckDB oracle's list_sum twin can't
+        # flip a sign bit on a near-zero dot via different summation order
+        dots = np.zeros((len(mat), all_planes.shape[0]), dtype=np.float64)
+        for d in range(dim):
+            dots += mat[:, d : d + 1] * all_planes[None, :, d]
+        bits = dots > 0  # (batch, L*b)
         bits = bits.reshape(len(mat), n_tables, bits_per_table)
         bkt = (bits @ weights).astype("int64")  # (batch, L)
         return pd.Series(list(bkt))
@@ -161,12 +167,15 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
             F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda a, x: a + x,
         )
+        # min_by keyed on the id: vectors ride as aggregate VALUES, never as
+        # grouping keys (a full-vector grouping key would shuffle the whole
+        # embedding column as key bytes)
         assigned = (
             vecs.crossJoin(F.broadcast(cents))
             .withColumn("d2", d2)
-            .groupBy(c_id, "v")
-            .agg(F.min(F.struct("d2", "centroid_id")).alias("b"))
-            .select(F.col("b.centroid_id").alias("centroid_id"), "v")
+            .groupBy(c_id)
+            .agg(F.min_by(F.struct("centroid_id", "v"), F.struct("d2", "centroid_id")).alias("b"))
+            .select(F.col("b.centroid_id").alias("centroid_id"), F.col("b.v").alias("v"))
         )
         # update: per-(centroid, dim) mean, re-assembled into arrays
         cents = (
@@ -193,9 +202,9 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, c_id: str = "vec_id",
         corpus.select(F.col(c_id), _as_double(F.col(vec_col)).alias("v"))
         .crossJoin(F.broadcast(centroids))
         .withColumn("d2", d2)
-        .groupBy(c_id, "v")
-        .agg(F.min(F.struct("d2", "centroid_id")).alias("b"))
-        .select(c_id, F.col("b.centroid_id").alias("centroid_id"), "v")
+        .groupBy(c_id)
+        .agg(F.min_by(F.struct("centroid_id", "v"), F.struct("d2", "centroid_id")).alias("b"))
+        .select(c_id, F.col("b.centroid_id").alias("centroid_id"), F.col("b.v").alias("v"))
     )
 
 

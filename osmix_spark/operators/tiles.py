@@ -573,3 +573,135 @@ def ring_tile_px(rings: DataFrame, z: int, extent: int = mvt.EXTENT) -> DataFram
         F.transform("xfs", lambda v: F.round((v - F.col("tx")) * extent).cast("int")).alias("pxs"),
         F.transform("yfs", lambda v: F.round((v - F.col("ty")) * extent).cast("int")).alias("pys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decoded tile statistics — SQL-checkable invariants of the tile tables
+# (the driver oracle recomputes the same aggregates from raw tile math, so a
+# green hash proves the encode->decode path bit-exactly: projection,
+# rounding, clamping, cleanCoords, zigzag/delta codec)
+# ---------------------------------------------------------------------------
+
+MVT_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("tx", T.LongType(), False),
+        T.StructField("ty", T.LongType(), False),
+        T.StructField("n_features", T.LongType(), False),
+        T.StructField("n_vertices", T.LongType(), False),
+        T.StructField("sum_px", T.LongType(), False),
+        T.StructField("sum_py", T.LongType(), False),
+        T.StructField("min_px", T.LongType(), False),
+        T.StructField("max_px", T.LongType(), False),
+        T.StructField("min_py", T.LongType(), False),
+        T.StructField("max_py", T.LongType(), False),
+        T.StructField("sum_ids", T.LongType(), False),
+    ]
+)
+
+
+def mvt_decoded_stats(tiles: DataFrame, layer: str) -> DataFrame:
+    """Decode each materialized tile's protobuf bytes (functions/mvt
+    decoder) and emit per-tile aggregates over the DECODED vertices."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                feats = mvt.decode_tile(bytes(r.tile)).get(layer, [])
+                xs: list[int] = []
+                ys: list[int] = []
+                sum_ids = 0
+                for f in feats:
+                    sum_ids += int(f["id"] or 0)
+                    for part in f["geometry"]:
+                        for x, y in part:
+                            xs.append(int(x))
+                            ys.append(int(y))
+                if not feats:
+                    continue
+                rows.append(
+                    {
+                        "z": int(r.z), "tx": int(r.tx), "ty": int(r.ty),
+                        "n_features": len(feats), "n_vertices": len(xs),
+                        "sum_px": sum(xs), "sum_py": sum(ys),
+                        "min_px": min(xs), "max_px": max(xs),
+                        "min_py": min(ys), "max_py": max(ys),
+                        "sum_ids": sum_ids,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in MVT_STATS_SCHEMA.fields])
+
+    return tiles.select("z", "tx", "ty", "tile").mapInPandas(stats, schema=MVT_STATS_SCHEMA)
+
+
+RASTER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("tx", T.LongType(), False),
+        T.StructField("ty", T.LongType(), False),
+        T.StructField("n_features", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("sum_x", T.LongType(), False),
+        T.StructField("sum_y", T.LongType(), False),
+    ]
+)
+
+
+def _read_png_rgba(data: bytes):
+    """Decode a PNG written by _write_png_rgba (RGBA8, filter 0 scanlines)
+    back into an (h, w, 4) uint8 array — pure stdlib zlib + NumPy."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    i = 8
+    w = h = 0
+    idat = bytearray()
+    while i < len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        typ = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+            assert bit_depth == 8 and color_type == 6, "RGBA8 only"
+        elif typ == b"IDAT":
+            idat += payload
+        i += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 4 + 1
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    assert (arr[:, 0] == 0).all(), "filter-0 scanlines only"
+    return arr[:, 1:].reshape(h, w, 4)
+
+
+def raster_pixel_stats(tiles: DataFrame) -> DataFrame:
+    """Decode each raster tile's PNG and emit per-tile lit-pixel aggregates
+    (alpha > 0): count plus coordinate sums — the SQL-checkable shadow of
+    the rasterization."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = _read_png_rgba(bytes(r.png))
+                ys, xs = np.nonzero(img[:, :, 3] > 0)
+                rows.append(
+                    {
+                        "z": int(r.z), "tx": int(r.tx), "ty": int(r.ty),
+                        "n_features": int(r.n_features),
+                        "n_pixels": int(len(xs)),
+                        "sum_x": int(xs.sum()), "sum_y": int(ys.sum()),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in RASTER_STATS_SCHEMA.fields])
+
+    return tiles.select("z", "tx", "ty", "n_features", "png").mapInPandas(
+        stats, schema=RASTER_STATS_SCHEMA
+    )

@@ -1020,30 +1020,114 @@ def text_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedupe.jaccard_verify(sh, pairs)
 
 
-@_q("embed_ann_lsh")  # rows-only: matmul signatures are not SQL-expressible
+def _ann_lsh_sql(n_tables: int = 16, bits: int = 4, dim: int = 64, k: int = 3) -> str:
+    """DuckDB twin of the ENTIRE LSH ANN path: the md5-derived hyperplanes
+    (similarity._planes) are recomputed in SQL, sign-bit buckets built with
+    the same left-fold dot order, candidates bucket-joined, cosine-refined.
+    A green hash therefore proves planes, signatures, banding, and refine."""
+    plane_w = (
+        "(('0x' || substr(md5('plane|' || tp.t::VARCHAR || '|' || tp.p::VARCHAR"
+        " || '|' || (i - 1)::VARCHAR), 1, 16))::UBIGINT::DOUBLE"
+        " / 9223372036854775808.0 - 1.0)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+    ),
+    tp AS (
+      SELECT tt.t, pp.p
+      FROM range(0, {n_tables}) tt(t), range(0, {bits}) pp(p)
+    ),
+    dots AS (
+      SELECT v.vec_id, tp.t, tp.p,
+             list_sum(list_transform(range(1, {dim + 1}),
+                                     i -> v.vec[i] * {plane_w})) AS dot
+      FROM v, tp
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
+      FROM dots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS vec_id
+      FROM sig qs JOIN sig cs ON qs.t = cs.t AND qs.bucket = cs.bucket
+      WHERE qs.vec_id < 8 AND qs.vec_id <> cs.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             list_sum(list_transform(range(1, {dim + 1}), i -> a.vec[i] * b.vec[i]))
+             / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> a.vec[i] * a.vec[i])))
+                * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> b.vec[i] * b.vec[i])))) AS sim
+      FROM cand c JOIN v a ON a.vec_id = c.query_id JOIN v b ON b.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, round(sim, 6) AS sim, rn::BIGINT AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@_q("embed_ann_lsh", _ann_lsh_sql())
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane ANN (operators/similarity.ann_topk);
-    recall vs the exact baseline asserted in tests."""
+    oracle: the full LSH path replicated in DuckDB SQL (md5-derived planes,
+    left-fold dots, bucket join, cosine refine). Recall vs the exact
+    baseline additionally asserted in tests."""
     from .operators import similarity as _similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return _similarity.ann_topk(queries, emb, k=3, bits_per_table=4, n_tables=16)
+    out = _similarity.ann_topk(queries, emb, k=3, bits_per_table=4, n_tables=16)
+    return out.select("query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
-@_q("tile_mvt_stats")  # rows-only: protobuf bytes are not SQL-expressible
+def _tile_frac_sql(lon_sql: str, lat_sql: str, z: int) -> tuple[str, str]:
+    n = float(1 << z)
+    xf = f"((({lon_sql}) / 360.0 + 0.5) * {n})"
+    yf = (
+        f"((0.5 - 0.25 * ln((1.0 + sin(radians({lat_sql})))"
+        f" / (1.0 - sin(radians({lat_sql})))) / pi()) * {n})"
+    )
+    return xf, yf
+
+
+_MVT_XF, _MVT_YF = _tile_frac_sql(DOC_LON_SQL, DOC_LAT_SQL, 13)
+
+@_q(
+    "tile_mvt_stats",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_MVT_XF} AS xf, {_MVT_YF} AS yf FROM documents
+    ), t AS (
+      SELECT doc_id, floor(xf)::BIGINT AS tx, floor(yf)::BIGINT AS ty,
+             round((xf - floor(xf)) * 4096)::BIGINT AS px,
+             round((yf - floor(yf)) * 4096)::BIGINT AS py
+      FROM f
+    )
+    SELECT 13::INT AS z, tx, ty,
+           count(*)::BIGINT AS n_features, count(*)::BIGINT AS n_vertices,
+           sum(px)::BIGINT AS sum_px, sum(py)::BIGINT AS sum_py,
+           min(px)::BIGINT AS min_px, max(px)::BIGINT AS max_px,
+           min(py)::BIGINT AS min_py, max(py)::BIGINT AS max_py,
+           sum(doc_id)::BIGINT AS sum_ids
+    FROM t GROUP BY tx, ty
+    """,
+)
 def tile_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized MVT tile table stats at z13 (operators/tiles):
-    deterministic per-tile content hashes."""
+    """T1 point tiles at z13, oracle-proven end to end: the tile table's
+    protobuf bytes are DECODED back (functions/mvt decoder) and the decoded
+    vertex aggregates are hash-compared against DuckDB recomputing the same
+    projection math from raw coordinates — a codec bug (zigzag, delta,
+    dictionary) or projection bug flips the hash."""
     from .operators import tiles as _tiles
 
     pts = _doc_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
     px = _tiles.point_tile_px(pts, z=13)
-    return _tiles.encode_point_mvt(px).select(
-        "z", "tx", "ty", "n_features", "size_bytes", "content_hash"
-    )
+    tiles = _tiles.encode_point_mvt(px)
+    return _tiles.mvt_decoded_stats(tiles, layer="points")
 
 
 _GRID_LON_SQL = "(-120.0 + ((p_partkey * 37) % 500)::DOUBLE * 0.0005)"
@@ -1527,19 +1611,99 @@ def osm_route_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("node", "dist").orderBy("node")
 
 
-@_q("embed_ann_ivf")  # rows-only: Lloyd means are float-accumulation-order sensitive
+def _ann_ivf_sql(n_centroids: int = 8, n_probe: int = 4, iters: int = 2,
+                 dim: int = 64, k: int = 3) -> str:
+    """DuckDB twin of the ENTIRE IVF path (similarity.ivf_topk): smallest-id
+    seeds, `iters` unrolled Lloyd steps (argmin assign + per-dim mean
+    update), inverted-list probe, cosine refine. Lloyd means accumulate in
+    engine-specific order; the resulting last-ulp centroid differences
+    cannot flip an argmin on this layer (nearest-centroid margins are many
+    orders of magnitude wider), so the hash is stable — and a real logic
+    divergence (seeding, assign rule, probe order) flips it."""
+    def d2(vec: str, cent: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}),"
+                f" i -> ({vec}[i] - {cent}[i]) * ({vec}[i] - {cent}[i])))")
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT v.vec_id, v.vec, s.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2('v.vec', 's.c')}, s.cid) AS rn
+        FROM v, {cents} s
+      ) WHERE rn = 1
+    )"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT cid, list(m ORDER BY d) AS c FROM (
+        SELECT cid, dd.d, avg(vec[dd.d]) AS m
+        FROM {assigned}, range(1, {dim + 1}) dd(d) GROUP BY cid, dd.d
+      ) GROUP BY cid
+    )"""
+
+    steps = []
+    cents = "seeds"
+    for it in range(1, iters + 1):
+        steps.append(assign(f"a{it}", cents))
+        steps.append(update(f"c{it}", f"a{it}"))
+        cents = f"c{it}"
+    chain = ",".join(steps)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec AS c
+      FROM v ORDER BY vec_id LIMIT {n_centroids}
+    ),{chain},
+    inv AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT v.vec_id, v.vec, s.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2('v.vec', 's.c')}, s.cid) AS rn
+        FROM v, {cents} s
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, cid FROM (
+        SELECT v.vec_id AS query_id, v.vec AS qvec, s.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2('v.vec', 's.c')}, s.cid) AS pr
+        FROM v, {cents} s WHERE v.vec_id < 8
+      ) WHERE pr <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, i.vec_id,
+             list_sum(list_transform(range(1, {dim + 1}), i2 -> p.qvec[i2] * i.vec[i2]))
+             / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i2 -> p.qvec[i2] * p.qvec[i2])))
+                * sqrt(list_sum(list_transform(range(1, {dim + 1}), i2 -> i.vec[i2] * i.vec[i2])))) AS sim
+      FROM probes p JOIN inv i ON i.cid = p.cid WHERE p.query_id <> i.vec_id
+    )
+    SELECT query_id, vec_id, round(sim, 6) AS sim, rn::BIGINT AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@_q("embed_ann_ivf", _ann_ivf_sql())
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-file ANN (operators/similarity.ivf_topk): deterministic
     seeded coarse quantizer + 2 distributed Lloyd steps, n_probe nearest
-    lists probed per query, exact cosine refine. Recall vs brute force
-    asserted in tests; output determinism across parallelism tested."""
+    lists probed per query, exact cosine refine. Oracle: the full IVF path
+    replicated as unrolled SQL. Recall vs brute force asserted in tests;
+    output determinism across parallelism tested."""
     from .operators import similarity as _similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return _similarity.ivf_topk(queries, emb, k=3, n_centroids=8, n_probe=4)
+    out = _similarity.ivf_topk(queries, emb, k=3, n_centroids=8, n_probe=4)
+    return out.select("query_id", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
 _REL_KIND_SQL = """
@@ -1630,22 +1794,104 @@ def geo_knn_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("tile_raster_stats")  # rows-only: PNG bytes are not SQL-expressible
+_RAS_XF, _RAS_YF = _tile_frac_sql(DOC_LON_SQL, DOC_LAT_SQL, 10)
+
+@_q(
+    "tile_raster_stats",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_RAS_XF} AS xf, {_RAS_YF} AS yf FROM documents
+    ), t AS (
+      SELECT doc_id, floor(xf)::BIGINT AS tx, floor(yf)::BIGINT AS ty,
+             round((xf - floor(xf)) * 4096)::BIGINT AS px,
+             round((yf - floor(yf)) * 4096)::BIGINT AS py
+      FROM f
+    ), pix AS (
+      SELECT DISTINCT tx, ty,
+             least(greatest(floor(px / 16.0), 0), 255)::BIGINT AS xi,
+             least(greatest(floor(py / 16.0), 0), 255)::BIGINT AS yi
+      FROM t
+    ), cnt AS (
+      SELECT tx, ty, count(*)::BIGINT AS n_features FROM t GROUP BY tx, ty
+    )
+    SELECT 10::INT AS z, p.tx, p.ty, c.n_features,
+           count(*)::BIGINT AS n_pixels,
+           sum(xi)::BIGINT AS sum_x, sum(yi)::BIGINT AS sum_y
+    FROM pix p JOIN cnt c ON c.tx = p.tx AND c.ty = p.ty
+    GROUP BY p.tx, p.ty, c.n_features
+    """,
+)
 def tile_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 composited raster materialization (drawToRasterTile defaults):
-    document points rendered into 256px PNG tiles at z=10; deterministic
-    content hashes are the comparable output (byte determinism across
-    parallelism is asserted in tests/test_tiles.py)."""
+    """T2 composited raster materialization (drawToRasterTile defaults),
+    oracle-proven: the rendered PNG bytes are DECODED back (stdlib zlib)
+    and per-tile lit-pixel aggregates are hash-compared against DuckDB
+    recomputing the expected pixel set from raw coordinates. Byte
+    determinism across parallelism is separately asserted in
+    tests/test_tiles.py."""
     from .operators import tiles as tiles_op
 
     pts = _doc_points(spark, sf_dir).select(F.col("doc_id").alias("id"), "lon", "lat")
     px = tiles_op.point_tile_px(pts, z=10)
     feats = tiles_op.composite_raster_inputs(points_px=px)
     out = tiles_op.render_composite_raster(feats)
-    return out.select("z", "tx", "ty", "n_features", "content_hash").orderBy("tx", "ty")
+    return tiles_op.raster_pixel_stats(out)
 
 
-@_q("tile_way_mvt_stats")  # rows-only: protobuf bytes are not SQL-expressible
+_WAY_XF, _WAY_YF = _tile_frac_sql("n.lon", "n.lat", 12)
+
+@_q(
+    "tile_way_mvt_stats",
+    f"""
+    WITH nodes AS (
+      SELECT p_partkey AS id, {PART_LON_SQL} AS lon, {PART_LAT_SQL} AS lat FROM part
+    ),
+    seq AS (
+      SELECT l_orderkey AS way_id,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS seq,
+             l_partkey AS ref
+      FROM lineitem
+    ),
+    v AS (
+      SELECT s.way_id, s.seq, {_WAY_XF} AS xf, {_WAY_YF} AS yf
+      FROM seq s JOIN nodes n ON n.id = s.ref
+    ),
+    b AS (
+      SELECT way_id, floor(min(xf))::BIGINT AS tx0, floor(max(xf))::BIGINT AS tx1,
+             floor(min(yf))::BIGINT AS ty0, floor(max(yf))::BIGINT AS ty1
+      FROM v GROUP BY way_id
+    ),
+    tilesx AS (
+      SELECT way_id, unnest(generate_series(tx0, tx1)) AS tx, ty0, ty1 FROM b
+    ),
+    tiles AS (
+      SELECT way_id, tx, unnest(generate_series(ty0, ty1)) AS ty FROM tilesx
+    ),
+    pv AS (
+      SELECT t.way_id, t.tx, t.ty, v.seq,
+             greatest(-64, least(4160, round((v.xf - t.tx) * 4096)::BIGINT)) AS px,
+             greatest(-64, least(4160, round((v.yf - t.ty) * 4096)::BIGINT)) AS py
+      FROM tiles t JOIN v ON v.way_id = t.way_id
+    ),
+    k AS (
+      SELECT *, CASE WHEN lag(px) OVER w IS NULL
+                      OR px <> lag(px) OVER w OR py <> lag(py) OVER w
+                THEN 1 ELSE 0 END AS keep
+      FROM pv WINDOW w AS (PARTITION BY way_id, tx, ty ORDER BY seq)
+    ),
+    wf AS (
+      SELECT way_id, tx, ty, count(*) AS nv, sum(px) AS spx, sum(py) AS spy,
+             min(px) AS mnx, max(px) AS mxx, min(py) AS mny, max(py) AS mxy
+      FROM k WHERE keep = 1 GROUP BY way_id, tx, ty HAVING count(*) >= 2
+    )
+    SELECT 12::INT AS z, tx, ty,
+           count(*)::BIGINT AS n_features, sum(nv)::BIGINT AS n_vertices,
+           sum(spx)::BIGINT AS sum_px, sum(spy)::BIGINT AS sum_py,
+           min(mnx)::BIGINT AS min_px, max(mxx)::BIGINT AS max_px,
+           min(mny)::BIGINT AS min_py, max(mxy)::BIGINT AS max_py,
+           sum(way_id)::BIGINT AS sum_ids
+    FROM wf GROUP BY tx, ty
+    """,
+)
 def tile_way_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full §3.3 tile pipeline for line features: way->node resolution
     (J1), feature x covering-tile explode (way_tile_px, tile fractions
@@ -1666,5 +1912,5 @@ def tile_way_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("id"), "lon", "lat"
     )
     px = tiles_op.way_tile_px(refs, nodes, z=12)
-    out = tiles_op.encode_way_mvt(px)
-    return out.select("z", "tx", "ty", "n_features", "size_bytes", "content_hash")
+    tiles = tiles_op.encode_way_mvt(px)
+    return tiles_op.mvt_decoded_stats(tiles, layer="ways")
