@@ -1436,6 +1436,116 @@ def shortbread_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select("doc_id", classify(F.col("tags")).alias("layer"))
 
 
+# --- full shortbread schema (T3, all 20 layers + attributes) ----------------
+
+# tag combos cycling through every layer matcher; geometry cycles in blocks
+# of 24 so each combo is exercised with each geometry type
+_SB_COMBOS: list[dict[str, str | None]] = [
+    {"natural": "water", "water": "lake", "intermittent": "yes"},
+    {"waterway": "stream", "tunnel": "1"},
+    {"natural": "wood"},
+    {"landuse": "residential"},
+    {"tourism": "zoo"},
+    {"amenity": "hospital"},          # sites (Polygon) AND pois (Point)
+    {"building": "house", "height": "12.5"},
+    {"building": "no"},               # explicit non-building
+    {"highway": "primary", "surface": "asphalt", "oneway": "yes", "maxspeed": "50"},
+    {"highway": "footway"},
+    {"amenity": "cafe"},
+    {"shop": "mall"},                 # pois: mall AND sites: shopping
+    {"place": "city", "population": "100000"},
+    {"boundary": "administrative", "admin_level": "2"},
+    {"boundary": "administrative", "admin_level": "6"},
+    {"boundary": "protected_area"},
+    {"addr:housenumber": "42", "addr:street": "Main"},
+    {"railway": "subway"},
+    {"route": "bus"},
+    {"aerialway": "gondola"},
+    {"route": "ferry"},
+    {"man_made": "bridge"},
+    {"waterway": "dam"},
+    {"man_made": "pier"},
+]
+
+
+def _sb_tagged_spark(docs: DataFrame) -> DataFrame:
+    from .operators import shortbread as sb  # noqa: F401
+
+    m = F.col("doc_id") % len(_SB_COMBOS)
+    name = F.concat(F.lit("n"), F.col("doc_id").cast("string"))
+    name_en = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("e"), F.col("doc_id").cast("string"))
+    )
+    tags = None
+    for i, combo in enumerate(_SB_COMBOS):
+        entries = []
+        for k, v in combo.items():
+            entries.extend([F.lit(k), F.lit(v)])
+        entries.extend([F.lit("name"), name, F.lit("name:en"), name_en])
+        built = F.create_map(*entries)
+        tags = F.when(m == i, built) if tags is None else tags.when(m == i, built)
+    geom = F.element_at(
+        F.lit(["Point", "LineString", "Polygon"]),
+        (F.floor(F.col("doc_id") / 24).cast("long") % 3 + 1).cast("int"),
+    )
+    return docs.select("doc_id", tags.alias("tags"), geom.alias("geom"))
+
+
+def _sb_tagged_sql() -> str:
+    branches = []
+    for i, combo in enumerate(_SB_COMBOS):
+        keys = [f"'{k}'" for k in combo] + ["'name'", "'name:en'"]
+        vals = [f"'{v}'" for v in combo.values()] + [
+            "'n' || doc_id::VARCHAR",
+            "CASE WHEN doc_id % 2 = 0 THEN 'e' || doc_id::VARCHAR ELSE NULL END",
+        ]
+        branches.append(
+            f"WHEN {i} THEN map([{', '.join(keys)}], [{', '.join(vals)}])"
+        )
+    tags = f"(CASE doc_id % {len(_SB_COMBOS)} {' '.join(branches)} END)"
+    geom = "(CASE (doc_id // 24) % 3 WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' ELSE 'Polygon' END)"
+    return f"SELECT doc_id, {tags} AS tags, {geom} AS geom FROM documents"
+
+
+def _sb_layers_sql() -> str:
+    from .operators.shortbread import layer_matches_sql
+
+    # booleans surface as INT (1/0/NULL): all-NULL boolean columns coerce to
+    # different pandas dtypes in the two engines and break the value hash
+    return f"""
+    WITH tagged AS ({_sb_tagged_sql()}),
+    m AS ({layer_matches_sql('tagged')})
+    SELECT doc_id, layer, kind, name, name_en, name_de, height, admin_level,
+           population, surface, oneway::INT AS oneway, maxspeed,
+           intermittent::INT AS intermittent, housenumber
+    FROM m
+    """
+
+
+@_q("shortbread_layers", _sb_layers_sql())
+def shortbread_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 FULL schema: all 20 shortbread layers (layers.ts:809-908) with
+    per-layer kind, name attributes, and typed layer properties, matched by
+    geometry type exactly as matchTags (layers.ts:921-946) — one exploded
+    row per (entity, matching layer). The oracle is generated from the SAME
+    kind maps, so any divergence in matcher logic flips the hash."""
+    from .operators.shortbread import layer_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = _sb_tagged_spark(docs)
+    out = tagged.select(
+        "doc_id",
+        F.explode(layer_matches(F.col("tags"), F.col("geom"))).alias("e"),
+    )
+    return out.select(
+        "doc_id", "e.layer", "e.kind", "e.name", "e.name_en", "e.name_de",
+        "e.height", "e.admin_level", "e.population", "e.surface",
+        F.col("e.oneway").cast("int").alias("oneway"), "e.maxspeed",
+        F.col("e.intermittent").cast("int").alias("intermittent"),
+        "e.housenumber",
+    )
+
+
 # ===========================================================================
 # Multipolygon ring assembly (SURVEY §2.8 winding / relation-multipolygon.ts)
 # ===========================================================================
