@@ -1656,6 +1656,176 @@ def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("relation_id", "ring_index")
 
 
+# --- GeoJSON export (entity -> feature, entity-to-feature.ts) ---------------
+
+_GJ_A, _GJ_B = 0.004, 0.002
+_GJ_CORNERS = [
+    (1, -_GJ_A, -_GJ_A), (2, _GJ_A, -_GJ_A), (3, _GJ_A, _GJ_A), (4, -_GJ_A, _GJ_A),
+    (5, -_GJ_B, -_GJ_B), (6, _GJ_B, -_GJ_B), (7, _GJ_B, _GJ_B), (8, -_GJ_B, _GJ_B),
+]
+
+
+def _gj_oracle_sql() -> str:
+    """Feature strings rebuilt corner-by-corner with printf — byte parity
+    with the Catalyst/format_string assembly."""
+    def pt(i: int) -> str:
+        dx, dy = next((dx, dy) for j, dx, dy in _GJ_CORNERS if j == i)
+        return f"printf('[%.6f,%.6f]', cx + {dx!r}, cy + {dy!r})"
+
+    def pts(*idx: int) -> str:
+        return " || ',' || ".join(pt(i) for i in idx)
+
+    base = """
+    WITH c AS (
+      SELECT n_nationkey AS k,
+             (-100.0 + ((n_nationkey * 13) % 40)::DOUBLE * 0.01) AS cx,
+             (40.0 + ((n_nationkey * 7) % 40)::DOUBLE * 0.01) AS cy
+      FROM nation
+    )
+    """
+    selects = []
+    # 8 node features per relation cluster; odd corners carry a name tag
+    for i, _dx, _dy in _GJ_CORNERS:
+        name_part = (
+            f""" || ',"name":"p' || (k*100+{i})::VARCHAR || '"'""" if i % 2 == 1 else ""
+        )
+        selects.append(
+            f"""SELECT (k*100+{i})::BIGINT AS id, 'node' AS entity_type,
+            '{{"type":"Feature","id":' || (k*100+{i})::VARCHAR ||
+            ',"geometry":{{"type":"Point","coordinates":' || {pt(i)} ||
+            '}},"properties":{{"id":' || (k*100+{i})::VARCHAR || ',"type":"node"'{name_part} || '}}}}' AS feature
+            FROM c"""
+        )
+    # way 1: open line (LineString); way 2: closed building square (Polygon);
+    # way 3: inner ring, untagged (closed but not an area -> LineString)
+    selects.append(
+        f"""SELECT (k*10+1)::BIGINT, 'way',
+        '{{"type":"Feature","id":' || (k*10+1)::VARCHAR ||
+        ',"geometry":{{"type":"LineString","coordinates":[' || {pts(1, 2, 3)} ||
+        ']}},"properties":{{"id":' || (k*10+1)::VARCHAR || ',"type":"way","highway":"x"}}}}'
+        FROM c"""
+    )
+    selects.append(
+        f"""SELECT (k*10+2)::BIGINT, 'way',
+        '{{"type":"Feature","id":' || (k*10+2)::VARCHAR ||
+        ',"geometry":{{"type":"Polygon","coordinates":[[' || {pts(1, 2, 3, 4, 1)} ||
+        ']]}},"properties":{{"id":' || (k*10+2)::VARCHAR || ',"type":"way","building":"yes"}}}}'
+        FROM c"""
+    )
+    selects.append(
+        f"""SELECT (k*10+3)::BIGINT, 'way',
+        '{{"type":"Feature","id":' || (k*10+3)::VARCHAR ||
+        ',"geometry":{{"type":"LineString","coordinates":[' || {pts(5, 6, 7, 8, 5)} ||
+        ']}},"properties":{{"id":' || (k*10+3)::VARCHAR || ',"type":"way"}}}}'
+        FROM c"""
+    )
+    # relation k: multipolygon (outer = way 2 ring CCW canonical, inner = way
+    # 3 ring flipped CW, canonical rotation keeps corner 5 first)
+    selects.append(
+        f"""SELECT k::BIGINT, 'relation',
+        '{{"type":"Feature","id":' || k::VARCHAR ||
+        ',"geometry":{{"type":"Polygon","coordinates":[[' || {pts(1, 2, 3, 4, 1)} ||
+        '],[' || {pts(5, 8, 7, 6, 5)} ||
+        ']]}},"properties":{{"id":' || k::VARCHAR || ',"type":"multipolygon","name":"r' || k::VARCHAR || '"}}}}'
+        FROM c"""
+    )
+    # relation 100000+k: multipoint over corners 1, 2
+    selects.append(
+        f"""SELECT (100000+k)::BIGINT, 'relation',
+        '{{"type":"Feature","id":' || (100000+k)::VARCHAR ||
+        ',"geometry":{{"type":"MultiPoint","coordinates":[' || {pts(1, 2)} ||
+        ']}},"properties":{{"id":' || (100000+k)::VARCHAR || ',"type":"multipoint"}}}}'
+        FROM c"""
+    )
+    # relation 200000+k: route over way 1
+    selects.append(
+        f"""SELECT (200000+k)::BIGINT, 'relation',
+        '{{"type":"Feature","id":' || (200000+k)::VARCHAR ||
+        ',"geometry":{{"type":"LineString","coordinates":[' || {pts(1, 2, 3)} ||
+        ']}},"properties":{{"id":' || (200000+k)::VARCHAR || ',"type":"route"}}}}'
+        FROM c"""
+    )
+    return base + " UNION ALL ".join(selects)
+
+
+def _gj_fixture(spark: SparkSession, sf_dir: str):
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    cx = F.lit(-100.0) + ((F.col("k") * 13) % 40).cast("double") * F.lit(0.01)
+    cy = F.lit(40.0) + ((F.col("k") * 7) % 40).cast("double") * F.lit(0.01)
+    base = nation.select("k", cx.alias("cx"), cy.alias("cy"))
+    nodes = base.select(
+        "k",
+        F.explode(F.array(*[
+            F.struct(
+                (F.col("k") * 100 + i).alias("id"),
+                (F.col("cx") + F.lit(dx)).alias("lon"),
+                (F.col("cy") + F.lit(dy)).alias("lat"),
+            )
+            for i, dx, dy in _GJ_CORNERS
+        ])).alias("n"),
+    ).select(
+        F.col("n.id").alias("id"), F.col("n.lon").alias("lon"), F.col("n.lat").alias("lat"),
+        F.when(
+            F.col("n.id") % 2 == 1,
+            F.create_map(F.lit("name"), F.concat(F.lit("p"), F.col("n.id").cast("string"))),
+        ).alias("tags"),
+    )
+    k100 = F.col("k") * 100
+    ways = base.select(
+        F.explode(F.array(
+            F.struct((F.col("k") * 10 + 1).alias("id"),
+                     F.array(k100 + 1, k100 + 2, k100 + 3).alias("refs"),
+                     F.create_map(F.lit("highway"), F.lit("x")).alias("tags")),
+            F.struct((F.col("k") * 10 + 2).alias("id"),
+                     F.array(k100 + 1, k100 + 2, k100 + 3, k100 + 4, k100 + 1).alias("refs"),
+                     F.create_map(F.lit("building"), F.lit("yes")).alias("tags")),
+            F.struct((F.col("k") * 10 + 3).alias("id"),
+                     F.array(k100 + 5, k100 + 6, k100 + 7, k100 + 8, k100 + 5).alias("refs"),
+                     F.lit(None).cast("map<string,string>").alias("tags")),
+        )).alias("w")
+    ).select(F.col("w.id").alias("id"), F.col("w.refs").alias("refs"), F.col("w.tags").alias("tags"))
+    relations = base.select(
+        F.explode(F.array(
+            F.struct(F.col("k").cast("long").alias("id"),
+                     F.create_map(F.lit("type"), F.lit("multipolygon"),
+                                  F.lit("name"), F.concat(F.lit("r"), F.col("k").cast("string"))).alias("tags")),
+            F.struct((F.col("k") + 100000).cast("long").alias("id"),
+                     F.create_map(F.lit("type"), F.lit("multipoint")).alias("tags")),
+            F.struct((F.col("k") + 200000).cast("long").alias("id"),
+                     F.create_map(F.lit("type"), F.lit("route")).alias("tags")),
+        )).alias("r")
+    ).select(F.col("r.id").alias("id"), F.col("r.tags").alias("tags"))
+    members = base.select(
+        F.explode(F.array(
+            F.struct(F.col("k").cast("long").alias("relation_id"), F.lit("way").alias("member_type"),
+                     (F.col("k") * 10 + 2).alias("member_ref"), F.lit("outer").alias("role"),
+                     F.lit(0).alias("seq")),
+            F.struct(F.col("k").cast("long").alias("relation_id"), F.lit("way").alias("member_type"),
+                     (F.col("k") * 10 + 3).alias("member_ref"), F.lit("inner").alias("role"),
+                     F.lit(1).alias("seq")),
+            F.struct((F.col("k") + 100000).cast("long").alias("relation_id"), F.lit("node").alias("member_type"),
+                     (k100 + 1).alias("member_ref"), F.lit("").alias("role"), F.lit(0).alias("seq")),
+            F.struct((F.col("k") + 100000).cast("long").alias("relation_id"), F.lit("node").alias("member_type"),
+                     (k100 + 2).alias("member_ref"), F.lit("").alias("role"), F.lit(1).alias("seq")),
+            F.struct((F.col("k") + 200000).cast("long").alias("relation_id"), F.lit("way").alias("member_type"),
+                     (F.col("k") * 10 + 1).alias("member_ref"), F.lit("").alias("role"), F.lit(0).alias("seq")),
+        )).alias("m")
+    ).select("m.relation_id", "m.member_type", "m.member_ref", "m.role", "m.seq")
+    return nodes, ways, relations, members
+
+
+@_q("osm_to_geojson", _gj_oracle_sql())
+def osm_to_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON export (entity-to-feature.ts): node Points, way
+    LineStrings/Polygons (wayIsArea), relation multipolygon-with-hole /
+    multipoint / route features — serialized feature strings compared
+    byte-for-byte against an oracle that rebuilds them corner-by-corner."""
+    from .operators import geojson_export as gj
+
+    nodes, ways, relations, members = _gj_fixture(spark, sf_dir)
+    return gj.to_geojson_features(nodes, ways, relations, members)
+
+
 # ===========================================================================
 # Routing (SURVEY §2.12, packages/router): SSSP on a deterministic grid
 # ===========================================================================
