@@ -31,6 +31,9 @@ _CMD_CLOSEPATH = 7
 
 
 def _varint(v: int) -> bytes:
+    # negative ints encode as 64-bit two's complement (protobuf int64);
+    # without the mask Python's arithmetic shift never terminates
+    v &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = v & 0x7F

@@ -5,6 +5,9 @@ from __future__ import annotations
 
 
 def varint(v: int) -> bytes:
+    # negative ints encode as 64-bit two's complement (protobuf int64);
+    # without the mask Python's arithmetic shift never terminates
+    v &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = v & 0x7F

@@ -113,14 +113,69 @@ def shortest_path(edges: DataFrame, source: int, max_rounds: int = 200,
     return dist
 
 
+def reconstruct_path_df(dist: DataFrame, target: int,
+                        max_hops: int = 10_000) -> DataFrame:
+    """Distributed predecessor-chain extraction by pointer doubling
+    (parallel list ranking): never collects the distance table.
+
+    Build jump tables J_k(node) = (ancestor after 2^k via-hops, exact steps
+    advanced) by K = ceil(log2(max_hops)) self-joins, then expand the
+    target's chain top-down — each expansion round doubles the number of
+    resolved path positions and joins the (path-sized, broadcast) frontier
+    against one jump table. Returns DataFrame(pos, node) where pos counts
+    hops from the TARGET (pos 0 = target, max pos = source).
+
+    Scale: K full-table shuffles to build jumps + K broadcast probes to
+    expand; driver memory O(1). The reference materializes the path as an
+    in-memory array (shortest-path.ts) — fine single-node, not at 1e9
+    nodes.
+    """
+    import math
+
+    spark = dist.sparkSession
+    source_like = F.col("via") == F.col("node")
+    j = dist.select(
+        "node", F.col("via").alias("anc"),
+        F.when(source_like, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("steps"),
+    ).localCheckpoint()
+    jumps = [j]
+    k = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(k - 1):
+        if j.filter(F.col("steps") > 0).join(
+            j.select(F.col("node").alias("anc"), F.col("steps").alias("s2")).filter(F.col("s2") > 0),
+            "anc", "left_semi",
+        ).isEmpty():
+            break  # every chain already resolves to the source
+        a = j.alias("a")
+        b = j.select(
+            F.col("node").alias("anc"), F.col("anc").alias("anc2"),
+            F.col("steps").alias("steps2"),
+        ).alias("b")
+        j = (
+            a.join(b, "anc")
+            .select(
+                F.col("a.node").alias("node"), F.col("anc2").alias("anc"),
+                (F.col("a.steps") + F.col("steps2")).alias("steps"),
+            )
+            .localCheckpoint()
+        )
+        jumps.append(j)
+
+    rows = spark.createDataFrame([(0, target)], "pos long, node long")
+    for jk in reversed(jumps):
+        ext = (
+            F.broadcast(rows).join(jk, "node")
+            .select((F.col("pos") + F.col("steps")).alias("pos"), F.col("anc").alias("node"))
+        )
+        rows = rows.unionByName(ext).distinct().localCheckpoint()
+    return rows
+
+
 def reconstruct_path(dist: DataFrame, target: int, max_hops: int = 10_000) -> list[int]:
-    """Walk `via` predecessors driver-side (path length is tiny relative to
-    the graph; the reference also materializes the final path as an array,
-    shortest-path.ts). Returns node ids source..target."""
-    via = {r["node"]: r["via"] for r in dist.select("node", "via").collect()}
-    if target not in via:
+    """Path node ids source..target — the list convenience over
+    reconstruct_path_df. Collects O(path) rows, never the distance table."""
+    if dist.filter(F.col("node") == target).isEmpty():
         return []
-    path = [target]
-    while via[path[-1]] != path[-1] and len(path) <= max_hops:
-        path.append(via[path[-1]])
-    return list(reversed(path))
+    rows = reconstruct_path_df(dist, target, max_hops).collect()
+    ordered = [r["node"] for r in sorted(rows, key=lambda r: -r["pos"])]
+    return ordered

@@ -74,25 +74,51 @@ def render_change_fragments(changes: DataFrame, entity: str = "node") -> DataFra
     return changes.mapInPandas(go, schema=schema)
 
 
+def _stream_osc(out, node_changes: DataFrame | None, way_changes: DataFrame | None,
+                generator: str) -> None:
+    """Stream an osmChange document: sections in create/modify/delete order,
+    entities sorted by (type, id) inside each (osc.ts:92-160). One sorted
+    toLocalIterator pass per section — driver memory O(partition), never
+    O(changeset)."""
+    out(f'<osmChange version="0.6" generator="{xml_escape(generator)}">')
+    for sec in ("create", "modify", "delete"):
+        opened = False
+        for df, _entity in ((node_changes, "node"), (way_changes, "way")):
+            if df is None:
+                continue
+            frags = (
+                render_change_fragments(df.filter(F.col("change_type") == sec), _entity)
+                .repartitionByRange(
+                    max(df.sparkSession.sparkContext.defaultParallelism, 1), "id"
+                )
+                .sortWithinPartitions("id")
+            )
+            for r in frags.toLocalIterator():
+                if not opened:
+                    out(f"<{sec}>")
+                    opened = True
+                out(r["xml"])
+        if opened:
+            out(f"</{sec}>")
+    out("</osmChange>")
+
+
+def write_osc(path: str, node_changes: DataFrame | None = None,
+              way_changes: DataFrame | None = None,
+              generator: str = "osmix-spark") -> None:
+    """Streaming osmChange file export — the scale-safe sink."""
+    with open(path, "w", encoding="utf-8") as f:
+        _stream_osc(f.write, node_changes, way_changes, generator)
+
+
 def to_osc_string(node_changes: DataFrame | None = None,
                   way_changes: DataFrame | None = None,
                   generator: str = "osmix-spark") -> str:
-    """Deterministic osmChange document: sections in create/modify/delete
-    order, entities sorted by (type, id) inside each (osc.ts:92-160)."""
-    sections: dict[str, list[str]] = {"create": [], "modify": [], "delete": []}
-    for df, _entity in ((node_changes, "node"), (way_changes, "way")):
-        if df is None:
-            continue
-        frags = render_change_fragments(df, _entity).orderBy("id").collect()
-        for r in frags:
-            sections[r["change_type"]].append(r["xml"])
-    parts = [f'<osmChange version="0.6" generator="{xml_escape(generator)}">']
-    for sec in ("create", "modify", "delete"):
-        if sections[sec]:
-            parts.append(f"<{sec}>")
-            parts.extend(sections[sec])
-            parts.append(f"</{sec}>")
-    parts.append("</osmChange>")
+    """Deterministic osmChange document as a string (small-extract
+    convenience: the string itself is O(changeset) — use write_osc for
+    large exports)."""
+    parts: list[str] = []
+    _stream_osc(parts.append, node_changes, way_changes, generator)
     return "".join(parts)
 
 
@@ -133,16 +159,39 @@ def render_augmented_fragments(changes: DataFrame, entity: str = "node") -> Data
     return changes.mapInPandas(go, schema=schema)
 
 
-def to_augmented_diff_string(node_changes: DataFrame | None = None,
-                             way_changes: DataFrame | None = None,
-                             generator: str = "osmix-spark") -> str:
-    """Deterministic augmented diff document (actions sorted by entity
-    type then id, matching the sorted-export discipline)."""
-    frag_lists: list[str] = []
+def _stream_augmented_diff(out, node_changes: DataFrame | None,
+                           way_changes: DataFrame | None, generator: str) -> None:
+    """Stream an augmented diff (actions sorted by entity type then id) —
+    sorted toLocalIterator, driver memory O(partition)."""
+    out(f'<osm version="0.6" generator="{xml_escape(generator)}">')
     for df, _entity in ((node_changes, "node"), (way_changes, "way")):
         if df is None:
             continue
-        frags = render_augmented_fragments(df, _entity).orderBy("id").collect()
-        frag_lists.extend(r["xml"] for r in frags)
-    head = f'<osm version="0.6" generator="{xml_escape(generator)}">'
-    return head + "".join(frag_lists) + "</osm>"
+        frags = (
+            render_augmented_fragments(df, _entity)
+            .repartitionByRange(
+                max(df.sparkSession.sparkContext.defaultParallelism, 1), "id"
+            )
+            .sortWithinPartitions("id")
+        )
+        for r in frags.toLocalIterator():
+            out(r["xml"])
+    out("</osm>")
+
+
+def write_augmented_diff(path: str, node_changes: DataFrame | None = None,
+                         way_changes: DataFrame | None = None,
+                         generator: str = "osmix-spark") -> None:
+    """Streaming augmented-diff file export — the scale-safe sink."""
+    with open(path, "w", encoding="utf-8") as f:
+        _stream_augmented_diff(f.write, node_changes, way_changes, generator)
+
+
+def to_augmented_diff_string(node_changes: DataFrame | None = None,
+                             way_changes: DataFrame | None = None,
+                             generator: str = "osmix-spark") -> str:
+    """Deterministic augmented diff document as a string (small-extract
+    convenience — use write_augmented_diff for large exports)."""
+    parts: list[str] = []
+    _stream_augmented_diff(parts.append, node_changes, way_changes, generator)
+    return "".join(parts)

@@ -198,60 +198,46 @@ def write_pbf(path: str, nodes: DataFrame, ways: DataFrame | None = None,
     """Sorted PBF export (S4): nodes then ways then relations, ids
     ascending, <= 8,000 entities per block (entity-stream.ts:11-21 order).
 
-    Blocks are encoded in parallel (mapInPandas per range partition); the
-    driver assembles blobs in partition order, so bytes are deterministic.
+    Blocks are keyed by FIXED id ranges (floor(id / 8000)), so the block
+    split — and therefore the output bytes — is identical at any
+    parallelism / cluster size. Blocks encode in parallel (applyInPandas,
+    one group per block) and stream to the file in block order through
+    toLocalIterator: driver memory is one partition of blobs, never the
+    dataset. (Single-file output is a converter concern; at warehouse scale
+    keep entities in parquet and export extracts.)
     """
-    sections: list[bytes] = [_blob(_header_block(bbox), "OSMHeader")]
 
-    def encode_partition(kind):
-        def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            buf: list[dict] = []
-            blobs: list[bytes] = []
-            for pdf in batches:
-                for rec in pdf.to_dict("records"):
-                    buf.append(rec)
-                    if len(buf) >= MAX_ENTITIES_PER_BLOCK:
-                        blobs.append(_blob(_primitive_block(buf, kind), "OSMData"))
-                        buf = []
-            if buf:
-                blobs.append(_blob(_primitive_block(buf, kind), "OSMData"))
-            yield pd.DataFrame(
-                {"pid": [0] * len(blobs), "blob": blobs}
+    def encode_block(kind):
+        def go(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id")
+            recs = pdf.drop(columns=["__blk"]).to_dict("records")
+            return pd.DataFrame(
+                {"blk": [int(key[0])],
+                 "blob": [_blob(_primitive_block(recs, kind), "OSMData")]}
             )
 
         return go
 
-    for df, kind in ((nodes, "node"), (ways, "way"), (relations, "relation")):
-        if df is None:
-            continue
-        parts = (
-            df.repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism, 1), "id")
-            .sortWithinPartitions("id")
-            .withColumn("__pid", F.spark_partition_id())
-        )
-        enc = parts.mapInPandas(
-            encode_partition(kind),
-            schema="pid int, blob binary",
-        )
-        # partition order == id order (range partitioner); collect keyed by
-        # the minimum id inside each blob is unnecessary — decode the first
-        # id per blob for a deterministic global order
-        rows = enc.collect()
-        keyed = []
-        for r in rows:
-            b = bytes(r["blob"])
-            keyed.append((_first_id_of_blob(b, kind), b))
-        for _k, b in sorted(keyed, key=lambda x: x[0]):
-            sections.append(b)
-
     with open(path, "wb") as f:
-        for s in sections:
-            f.write(s)
+        f.write(_blob(_header_block(bbox), "OSMHeader"))
+        for df, kind in ((nodes, "node"), (ways, "way"), (relations, "relation")):
+            if df is None:
+                continue
+            n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+            blocks = df.withColumn(
+                "__blk", F.floor(F.col("id") / F.lit(MAX_ENTITIES_PER_BLOCK)).cast("long")
+            )
+            enc = blocks.groupBy("__blk").applyInPandas(
+                encode_block(kind), schema="blk long, blob binary"
+            )
+            ordered = enc.repartitionByRange(n_parts, "blk").sortWithinPartitions("blk")
+            for row in ordered.toLocalIterator():
+                f.write(bytes(row["blob"]))
 
 
 def _first_id_of_blob(blob_frame: bytes, kind: str) -> int:
-    """Decode just far enough to find the first entity id (for global
-    ordering of independently-encoded blocks)."""
+    """Decode just far enough to find the first entity id (block-order
+    validation in tests)."""
     _btype, payload = _read_blob_frame(blob_frame, 0)[1:3]
     for ents in _decode_block(payload):
         if ents["kind"] == kind and ents["rows"]:

@@ -86,3 +86,26 @@ def test_write_is_deterministic(spark, tmp_path):
     pbf.write_pbf(p1, nodes.repartition(1))
     pbf.write_pbf(p2, nodes.repartition(5))
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_write_pbf_parallelism_invariant_bytes(spark, tmp_path):
+    """Block boundaries are fixed id ranges, so output bytes must be
+    identical regardless of input partitioning (cluster-size invariance)."""
+    from osmix_spark.sources import pbf
+
+    nodes = spark.createDataFrame(
+        [(i, i * 0.001, -i * 0.001, None) for i in range(0, 20000, 3)],
+        "id long, lon double, lat double, tags map<string,string>",
+    )
+    p1, p2 = str(tmp_path / "a.pbf"), str(tmp_path / "b.pbf")
+    pbf.write_pbf(p1, nodes.repartition(1))
+    pbf.write_pbf(p2, nodes.repartition(13))
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_varint_negative_terminates():
+    from osmix_spark.functions import protowire as pw
+
+    b = pw.varint(-1)
+    assert len(b) == 10  # 64-bit two's complement, protobuf int64
+    assert pw.read_varint(b, 0)[0] == (1 << 64) - 1
