@@ -247,8 +247,9 @@ def render_point_raster(points_px: DataFrame, id_col: str = "id",
 
         z, tx, ty = int(key[0]), int(key[1]), int(key[2])
         img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
-        xs = (pdf["px"].to_numpy() * tile_size // mvt.EXTENT).clip(0, tile_size - 1)
-        ys = (pdf["py"].to_numpy() * tile_size // mvt.EXTENT).clip(0, tile_size - 1)
+        scale = tile_size / mvt.EXTENT
+        xs = _clamp_round(pdf["px"].to_numpy() * scale, tile_size)
+        ys = _clamp_round(pdf["py"].to_numpy() * scale, tile_size)
         img[ys, xs] = rgba
         png = _write_png_rgba(img)
         h = int.from_bytes(hashlib.md5(png).digest()[:8], "big") >> 1
@@ -264,16 +265,226 @@ def render_point_raster(points_px: DataFrame, id_col: str = "id",
     )
 
 
+def _js_round(x):
+    """Math.round: floor(x + 0.5) — half toward +inf, also for negatives."""
+    import numpy as np
+
+    return np.floor(np.asarray(x, dtype=np.float64) + 0.5).astype(np.int64)
+
+
+def _clip_polyline_first(pts: list[tuple[float, float]], size: float):
+    """First clipped run of a polyline against [0,0,size,size] — the
+    Cohen-Sutherland multi-part clip (public mapbox/lineclip algorithm);
+    drawLineString consumes only the first part (raster-tile.ts:253)."""
+    def code(x, y):
+        c = 0
+        if x < 0: c |= 1
+        elif x > size: c |= 2
+        if y < 0: c |= 4
+        elif y > size: c |= 8
+        return c
+
+    def intersect(ax, ay, bx, by, edge):
+        if edge & 8:
+            return ax + (bx - ax) * (size - ay) / (by - ay), size
+        if edge & 4:
+            return ax + (bx - ax) * (0 - ay) / (by - ay), 0.0
+        if edge & 2:
+            return size, ay + (by - ay) * (size - ax) / (bx - ax)
+        return 0.0, ay + (by - ay) * (0 - ax) / (bx - ax)
+
+    part: list[tuple[float, float]] = []
+    if len(pts) < 2:
+        return part
+    code_a = code(*pts[0])
+    for i in range(len(pts) - 1):
+        ax, ay = pts[i]
+        bx, by = pts[i + 1]
+        code_b = last_code = code(bx, by)
+        while True:
+            if not (code_a | code_b):  # both inside
+                part.append((ax, ay))
+                if code_b != last_code:  # segment went outside
+                    part.append((bx, by))
+                    if i < len(pts) - 2:
+                        return part  # only the first run is drawn
+                elif i == len(pts) - 2:
+                    part.append((bx, by))
+                break
+            if code_a & code_b:  # trivially rejected
+                break
+            if code_a:
+                ax, ay = intersect(ax, ay, bx, by, code_a)
+                code_a = code(ax, ay)
+            else:
+                bx, by = intersect(ax, ay, bx, by, code_b)
+                code_b = code(bx, by)
+        code_a = last_code
+    return part
+
+
+def _clip_polygon(pts: list[tuple[float, float]], size: float):
+    """Sutherland-Hodgman polygon clip against [0,0,size,size]
+    (lineclip.polygonclip)."""
+    result = list(pts)
+    for edge in (1, 2, 4, 8):
+        inp = result
+        result = []
+        if not inp:
+            return result
+        prev = inp[-1]
+
+        def inside(p):
+            if edge == 1: return p[0] >= 0
+            if edge == 2: return p[0] <= size
+            if edge == 4: return p[1] >= 0
+            return p[1] <= size
+
+        def isect(a, b):
+            ax, ay = a
+            bx, by = b
+            if edge == 1:
+                return 0.0, ay + (by - ay) * (0 - ax) / (bx - ax)
+            if edge == 2:
+                return size, ay + (by - ay) * (size - ax) / (bx - ax)
+            if edge == 4:
+                return ax + (bx - ax) * (0 - ay) / (by - ay), 0.0
+            return ax + (bx - ax) * (size - ay) / (by - ay), size
+
+        prev_in = inside(prev)
+        for p in inp:
+            p_in = inside(p)
+            if p_in != prev_in:
+                result.append(isect(prev, p))
+            if p_in:
+                result.append(p)
+            prev, prev_in = p, p_in
+    return result
+
+
+def _clamp_round(pts, size: int):
+    """clampAndRoundPx (geo/tile.ts:90-97) with the upper bound tightened
+    to size-1: the reference clamps to `tileSize`, whose flat-index write
+    wraps x=tileSize onto the next row's first pixel — an artifact we
+    deliberately do not reproduce."""
+    import numpy as np
+
+    a = np.asarray(pts, dtype=np.float64)
+    if a.size == 0:
+        return a.astype(np.int64)
+    r = _js_round(a)
+    return np.clip(r, 0, size - 1)
+
+
+def _bresenham_visits(counts, x0: int, y0: int, x1: int, y1: int,
+                      tile_size: int) -> None:
+    """drawLine (raster-tile.ts:222-249): exact Bresenham, both endpoints
+    inclusive, only in-bounds pixels drawn; each visit increments the
+    pixel's draw count."""
+    dx, dy = abs(x1 - x0), abs(y1 - y0)
+    sx = 1 if x0 < x1 else -1
+    sy = 1 if y0 < y1 else -1
+    err = dx - dy
+    x, y = x0, y0
+    while True:
+        if 0 <= x < tile_size and 0 <= y < tile_size:
+            counts[y, x] += 1
+        if x == x1 and y == y1:
+            break
+        e2 = 2 * err
+        if e2 > -dy:
+            err -= dy
+            x += sx
+        if e2 < dx:
+            err += dx
+            y += sy
+
+
+def _line_counts(rows, tile_size: int, scale: float):
+    """Per-pixel drawPixel counts for a set of polylines (drawLineString:
+    project -> clip first run -> clamp+round -> Bresenham per segment;
+    shared vertices of consecutive segments ARE drawn twice, exactly as the
+    reference's per-segment drawLine)."""
+    import numpy as np
+
+    counts = np.zeros((tile_size, tile_size), dtype=np.int32)
+    for row in rows:
+        pts = [(float(x) * scale, float(y) * scale) for x, y in zip(row.pxs, row.pys)]
+        clipped = _clip_polyline_first(pts, float(tile_size))
+        if len(clipped) < 2:
+            continue
+        prev = clipped[0]
+        for curr in clipped:
+            p0 = _clamp_round([prev], tile_size)[0]
+            p1 = _clamp_round([curr], tile_size)[0]
+            if p0[0] != p1[0] or p0[1] != p1[1]:
+                _bresenham_visits(counts, int(p0[0]), int(p0[1]),
+                                  int(p1[0]), int(p1[1]), tile_size)
+            prev = curr
+    return counts
+
+
+def _polygon_mask(grp, tile_size: int, scale: float):
+    """Even-odd scanline fill for one feature's rings — the reference's
+    fillPolygonScanline (raster-tile.ts:347-439) exactly: integer
+    scanlines, Math.round'ed crossings, boundary rows (y=0, y=size-1) and
+    boundary columns (x=0, x=size-1) skipped. Rings are projected, clipped
+    (Sutherland-Hodgman), closed, and clamp-rounded first
+    (drawPolygon, raster-tile.ts:279-325)."""
+    import numpy as np
+
+    mask = np.zeros((tile_size, tile_size), dtype=bool)
+    rings = []
+    for row in grp.itertuples(index=False):
+        pts = [(float(x) * scale, float(y) * scale) for x, y in zip(row.pxs, row.pys)]
+        clipped = _clip_polygon(pts, float(tile_size))
+        if len(clipped) >= 3:
+            if clipped[0] != clipped[-1]:
+                clipped = clipped + [clipped[0]]
+            rings.append(_clamp_round(clipped, tile_size))
+    if not rings or len(rings[0]) < 3:
+        return mask
+    x1s, y1s, x2s, y2s = [], [], [], []
+    min_y, max_y = tile_size, 0
+    for r in rings:
+        xs, ys = r[:, 0], r[:, 1]
+        x1s.append(xs[:-1]); y1s.append(ys[:-1])
+        x2s.append(xs[1:]); y2s.append(ys[1:])
+        min_y = min(min_y, max(0, int(ys.min())))
+        max_y = max(max_y, min(tile_size - 1, int(ys.max())))
+    x1 = np.concatenate(x1s).astype(np.float64)
+    y1 = np.concatenate(y1s).astype(np.float64)
+    x2 = np.concatenate(x2s).astype(np.float64)
+    y2 = np.concatenate(y2s).astype(np.float64)
+    keep = y1 != y2
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    if not len(x1):
+        return mask
+    for yi in range(min_y, max_y + 1):
+        if yi == 0 or yi == tile_size - 1:  # boundary-row skip
+            continue
+        cross = ((y1 <= yi) & (yi < y2)) | ((y2 <= yi) & (yi < y1))
+        if not cross.any():
+            continue
+        xc = x1[cross] + (yi - y1[cross]) * (x2[cross] - x1[cross]) / (y2[cross] - y1[cross])
+        xs_cross = np.sort(_js_round(xc))
+        for j in range(0, len(xs_cross) - 1, 2):
+            a = max(0, min(tile_size - 1, int(xs_cross[j])))
+            b = max(0, min(tile_size - 1, int(xs_cross[j + 1])))
+            lo, hi = max(a, 1), min(b, tile_size - 2)  # boundary-column skip
+            if hi >= lo:
+                mask[yi, lo : hi + 1] = True
+    return mask
+
+
 def render_line_raster(ways_px: DataFrame, tile_size: int = 256,
                        rgba: tuple[int, int, int, int] = (40, 40, 40, 255)) -> DataFrame:
-    """Rasterize way polylines per tile (raster-tile.ts line path): each
-    segment is sampled at max(|dx|,|dy|)+1 evenly-spaced points (NumPy
-    linspace — the vectorized stand-in for Bresenham; identical pixel sets
-    for the axis-aligned and 45-degree cases, superset otherwise).
+    """Rasterize way polylines per tile: reference-exact Bresenham after
+    polyline clipping (drawLineString). With the default opaque color,
+    repeat blends are idempotent, so feature order can't change bytes.
 
     ways_px: (z, tx, ty, way_id, pxs array<int>, pys array<int>) in extent
-    space (see encode_way_mvt).
-    """
+    space (see encode_way_mvt)."""
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib
@@ -283,15 +494,9 @@ def render_line_raster(ways_px: DataFrame, tile_size: int = 256,
         z, tx, ty = int(key[0]), int(key[1]), int(key[2])
         img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
         scale = tile_size / mvt.EXTENT
-        for row in pdf.sort_values("way_id").itertuples(index=False):
-            xs = np.asarray(row.pxs, dtype=np.float64) * scale
-            ys = np.asarray(row.pys, dtype=np.float64) * scale
-            for i in range(len(xs) - 1):
-                n = int(max(abs(xs[i + 1] - xs[i]), abs(ys[i + 1] - ys[i]))) + 1
-                px = np.linspace(xs[i], xs[i + 1], n).round().astype(int)
-                py = np.linspace(ys[i], ys[i + 1], n).round().astype(int)
-                ok = (px >= 0) & (px < tile_size) & (py >= 0) & (py < tile_size)
-                img[py[ok], px[ok]] = rgba
+        counts = _line_counts(pdf.sort_values("way_id").itertuples(index=False),
+                              tile_size, scale)
+        _draw_counts(img, counts, rgba)
         png = _write_png_rgba(img)
         h = int.from_bytes(hashlib.md5(png).digest()[:8], "big") >> 1
         return pd.DataFrame(
@@ -302,72 +507,75 @@ def render_line_raster(ways_px: DataFrame, tile_size: int = 256,
     return ways_px.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
 
 
-def _polygon_mask(grp, tile_size: int, scale: float):
-    """Boolean even-odd scanline fill mask for one feature's rings
-    (raster-tile.ts:279-330). Crossing computation vectorized over
-    (edges x scanlines); grp rows carry pxs/pys extent-space arrays."""
+# --- linear-light premultiplied compositing (raster/src/color.ts) -----------
+
+
+def _srgb_to_linear(u):
+    """IEC 61966-2-1 EOTF (color.ts:18-21); u in 0..255 -> 0..1."""
     import numpy as np
 
-    mask = np.zeros((tile_size, tile_size), dtype=bool)
-    scan = np.arange(tile_size, dtype=np.float64) + 0.5
-    x1s, y1s, x2s, y2s = [], [], [], []
-    for row in grp.itertuples(index=False):
-        xs = np.asarray(row.pxs, dtype=np.float64) * scale
-        ys = np.asarray(row.pys, dtype=np.float64) * scale
-        x1s.append(xs[:-1]); y1s.append(ys[:-1])
-        x2s.append(xs[1:]); y2s.append(ys[1:])
-    if not x1s:
-        return mask
-    x1 = np.concatenate(x1s); y1 = np.concatenate(y1s)
-    x2 = np.concatenate(x2s); y2 = np.concatenate(y2s)
-    keep = y1 != y2  # horizontal edges never cross a scanline boundary pair
-    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
-    if not len(x1):
-        return mask
-    cross = ((y1[:, None] <= scan) & (scan < y2[:, None])) | (
-        (y2[:, None] <= scan) & (scan < y1[:, None])
-    )
-    import numpy as _np
-
-    with _np.errstate(divide="ignore", invalid="ignore"):
-        xc = x1[:, None] + (scan - y1[:, None]) * ((x2 - x1)[:, None] / (y2 - y1)[:, None])
-    for yi in range(tile_size):
-        xs_cross = _np.sort(xc[cross[:, yi], yi])
-        for j in range(0, len(xs_cross) - 1, 2):
-            a = max(0, int(_np.ceil(xs_cross[j] - 0.5)))
-            b = min(tile_size - 1, int(_np.floor(xs_cross[j + 1] - 0.5)))
-            if b >= a:
-                mask[yi, a : b + 1] = True
-    return mask
+    c = np.asarray(u, dtype=np.float64) / 255.0
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
 
 
-def _polyline_mask(rows, tile_size: int, scale: float):
-    """Boolean mask of all polyline pixels (linspace segment sampling)."""
+def _linear_to_srgb(x):
+    """Inverse EOTF (color.ts:27-29); x in 0..1 -> 0..255."""
     import numpy as np
 
-    mask = np.zeros((tile_size, tile_size), dtype=bool)
-    for row in rows:
-        xs = np.asarray(row.pxs, dtype=np.float64) * scale
-        ys = np.asarray(row.pys, dtype=np.float64) * scale
-        for i in range(len(xs) - 1):
-            n = int(max(abs(xs[i + 1] - xs[i]), abs(ys[i + 1] - ys[i]))) + 1
-            px = np.linspace(xs[i], xs[i + 1], n).round().astype(int)
-            py = np.linspace(ys[i], ys[i + 1], n).round().astype(int)
-            ok = (px >= 0) & (px < tile_size) & (py >= 0) & (py < tile_size)
-            mask[py[ok], px[ok]] = True
-    return mask
+    x = np.asarray(x, dtype=np.float64)
+    return np.where(x <= 0.0031308, 255.0 * 12.92 * x,
+                    255.0 * (1.055 * x ** (1.0 / 2.4) - 0.055))
+
+
+def _composite_pair(dst, rgba):
+    """compositeRGBA([dst, src]) (color.ts:63-86): linear-light
+    premultiplied Porter-Duff source-over, vectorized over dst (N,4)
+    uint8 pixels; src is one RGBA color."""
+    import numpy as np
+
+    sr, sg, sb, sa8 = rgba
+    sa = sa8 / 255.0
+    src_lin = _srgb_to_linear(np.array([sr, sg, sb])) * sa  # premultiplied
+    da = dst[:, 3].astype(np.float64) / 255.0
+    dst_lin = _srgb_to_linear(dst[:, :3]) * da[:, None]
+    a_out = sa + da * (1.0 - sa)
+    c_out = src_lin[None, :] + dst_lin * (1.0 - sa)
+    out = np.zeros_like(dst)
+    ok = a_out > 0
+    rgb = _linear_to_srgb(c_out[ok] / a_out[ok, None])
+    out[ok, :3] = np.clip(_js_round(np.clip(rgb, 0.0, 255.0)), 0, 255).astype(np.uint8)
+    out[ok, 3] = np.clip(_js_round(a_out[ok] * 255.0), 0, 255).astype(np.uint8)
+    return out
+
+
+def _draw_counts(img, counts, rgba) -> None:
+    """Apply `counts[y,x]` drawPixel invocations of one color to the image
+    (drawPixel, raster-tile.ts:184-200): the first draw on a transparent
+    pixel writes the RAW color; every further draw composites in linear
+    light. Count-equivalent to the reference's sequential per-feature
+    drawing because all draws in one class share a color."""
+    import numpy as np
+
+    max_c = int(counts.max()) if counts.size else 0
+    for i in range(max_c):
+        sel = counts > i
+        if not sel.any():
+            break
+        px = img[sel]
+        transparent = px[:, 3] == 0
+        out = px.copy()
+        out[transparent] = np.array(rgba, dtype=np.uint8)
+        nt = ~transparent
+        if nt.any():
+            out[nt] = _composite_pair(px[nt], rgba)
+        img[sel] = out
 
 
 def _blend(img, mask, rgba) -> None:
-    """Source-over alpha compositing (raster-tile.ts compositing path),
-    integer-exact: out = src*sa + dst*(255-sa), /255 rounded."""
+    """One drawPixel pass over a boolean mask (see _draw_counts)."""
     import numpy as np
 
-    sr, sg, sb, sa = rgba
-    dst = img[mask].astype(np.uint32)
-    src = np.array([sr, sg, sb, 255], dtype=np.uint32)
-    out = (src * sa + dst * (255 - sa) + 127) // 255
-    img[mask] = out.astype(np.uint8)
+    _draw_counts(img, mask.astype(np.int32), rgba)
 
 
 def render_polygon_raster(rings_px: DataFrame, tile_size: int = 256,
@@ -449,11 +657,20 @@ def render_composite_raster(features: DataFrame, tile_size: int = 256,
                             area_rgba=DEFAULT_AREA_RGBA,
                             line_rgba=DEFAULT_LINE_RGBA,
                             point_rgba=DEFAULT_POINT_RGBA) -> DataFrame:
-    """The reference's default raster tile (drawToRasterTile): areas filled
-    first (low-alpha blue), then lines (semi-transparent white), then
-    points (opaque red), source-over composited. Deterministic: painter's
-    order is fixed by class, and within a class every feature blends the
-    same color, so overlap order cannot change the result.
+    """The reference's default raster tile (drawToRasterTile,
+    packages/osmix/src/raster.ts:43-110) with reference-exact pixel math:
+    scanline-filled areas (boundary rows/columns skipped), Bresenham lines
+    clipped per polyline, points — all composited per drawPixel
+    (raster-tile.ts:184-200): raw write on transparent pixels, linear-light
+    premultiplied source-over otherwise (color.ts). Deterministic: classes
+    draw in areas -> lines -> points order, and within a class every
+    drawPixel uses one color, so the per-pixel result depends only on the
+    DRAW COUNT, not on feature order (counts are computed exactly,
+    including double-drawn shared polyline vertices).
+
+    Not reproduced from the reference: the sub-pixel-entity alpha-scaling
+    fast path (drawSubpixelEntity) and the clampAndRoundPx(tileSize) edge
+    wrap (we clamp to tileSize-1).
 
     features: output of composite_raster_inputs.
     """
@@ -467,22 +684,25 @@ def render_composite_raster(features: DataFrame, tile_size: int = 256,
         img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
         scale = tile_size / mvt.EXTENT
         areas = pdf[pdf["kind"] == "area"]
-        for _fid, grp in areas.sort_values(["fid", "ring_index"]).groupby("fid", sort=True):
-            _blend(img, _polygon_mask(grp, tile_size, scale), area_rgba)
+        if len(areas):
+            counts = np.zeros((tile_size, tile_size), dtype=np.int32)
+            for _fid, grp in areas.sort_values(["fid", "ring_index"]).groupby("fid", sort=True):
+                counts += _polygon_mask(grp, tile_size, scale)
+            _draw_counts(img, counts, area_rgba)
         lines = pdf[pdf["kind"] == "line"]
         if len(lines):
-            _blend(img, _polyline_mask(
+            _draw_counts(img, _line_counts(
                 lines.sort_values("fid").itertuples(index=False), tile_size, scale
             ), line_rgba)
         points = pdf[pdf["kind"] == "point"]
         if len(points):
             xs = np.array([p[0] for p in points["pxs"]], dtype=np.float64)
             ys = np.array([p[0] for p in points["pys"]], dtype=np.float64)
-            xi = (xs * scale).astype(int).clip(0, tile_size - 1)
-            yi = (ys * scale).astype(int).clip(0, tile_size - 1)
-            mask = np.zeros((tile_size, tile_size), dtype=bool)
-            mask[yi, xi] = True
-            _blend(img, mask, point_rgba)
+            xi = _clamp_round(xs * scale, tile_size)
+            yi = _clamp_round(ys * scale, tile_size)
+            counts = np.zeros((tile_size, tile_size), dtype=np.int32)
+            np.add.at(counts, (yi, xi), 1)
+            _draw_counts(img, counts, point_rgba)
         png = _write_png_rgba(img)
         h = int.from_bytes(hashlib.md5(png).digest()[:8], "big") >> 1
         return pd.DataFrame(

@@ -2087,9 +2087,11 @@ _RAS_XF, _RAS_YF = _tile_frac_sql(DOC_LON_SQL, DOC_LAT_SQL, 10)
              round((yf - floor(yf)) * 4096)::BIGINT AS py
       FROM f
     ), pix AS (
+      -- drawPoint pixel: clampAndRoundPx(px * 256/4096) with Math.round
+      -- (floor(x + 0.5)), clamped into the tile
       SELECT DISTINCT tx, ty,
-             least(greatest(floor(px / 16.0), 0), 255)::BIGINT AS xi,
-             least(greatest(floor(py / 16.0), 0), 255)::BIGINT AS yi
+             least(greatest(floor(px * 0.0625 + 0.5), 0), 255)::BIGINT AS xi,
+             least(greatest(floor(py * 0.0625 + 0.5), 0), 255)::BIGINT AS yi
       FROM t
     ), cnt AS (
       SELECT tx, ty, count(*)::BIGINT AS n_features FROM t GROUP BY tx, ty

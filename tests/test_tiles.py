@@ -193,9 +193,19 @@ def test_composite_raster_painter_order(spark):
         o = y * stride + 1 + x * 4
         return tuple(raw[o : o + 4])
 
-    assert px(64, 64) == (0, 0, 64, 64)          # area alone: blue at alpha 64
-    assert px(128, 128) == (255, 0, 0, 255)      # point on top: opaque red wins
-    assert px(64, 128)[0] == 230                  # line over area: white 230 blended
+    # drawPixel fast path (raster-tile.ts:184-200): the FIRST draw on a
+    # transparent pixel writes the raw color — not a blend over black
+    assert px(64, 64) == (0, 0, 255, 64)          # area alone: raw blue a=64
+    assert px(128, 128) == (255, 0, 0, 255)       # point on top: opaque red wins
+    # line over area: linear-light premultiplied source-over (color.ts)
+    import numpy as np
+
+    expected = tuple(
+        tiles._composite_pair(np.array([[0, 0, 255, 64]], dtype=np.uint8),
+                              (255, 255, 255, 230))[0]
+    )
+    assert px(64, 128) == expected
+    assert px(64, 128)[3] == 236                  # a = 230/255 + 64/255 * (1-230/255)
     assert px(10, 10) == (0, 0, 0, 0)             # empty background
 
 
@@ -236,3 +246,35 @@ def test_ring_tile_px_replicates_holes(spark):
     for r in out:
         by_tile.setdefault((r["tx"], r["ty"]), set()).add(r["ring_index"])
     assert by_tile == {(x, y): {0, 1} for x in (0, 1) for y in (0, 1)}
+
+
+def test_composite_same_color_coverage_accumulation():
+    """color.ts: drawing one semi-transparent color n times accumulates
+    coverage a_n = 1 - (1-a)^n; rgb stays the source color."""
+    import numpy as np
+
+    c = (0, 0, 255, 64)
+    img = np.zeros((1, 2, 4), dtype=np.uint8)
+    counts = np.array([[1, 3]], dtype=np.int32)
+    tiles._draw_counts(img, counts, c)
+    assert tuple(img[0, 0]) == c  # single draw = raw write
+    a = 64 / 255
+    a3 = 1 - (1 - a) ** 3
+    assert img[0, 1, 3] == round(a3 * 255)
+    assert img[0, 1, 2] == 255 and img[0, 1, 0] == 0
+
+
+def test_mvt_typed_tag_values_roundtrip():
+    """MVT 2.1 typed values (write-vt-pbf.ts parity): string, sint64,
+    double, bool all survive encode->decode."""
+    from osmix_spark.functions import mvt as mvt_fn
+
+    feats = [{
+        "id": 7, "type": mvt_fn.GEOM_POINT, "geometry": [[(10, 20)]],
+        "tags": {"s": "name", "n": -42, "f": 1.5, "b": True},
+    }]
+    out = mvt_fn.decode_tile(mvt_fn.encode_tile({"layer": feats}))
+    tags = out["layer"][0]["tags"]
+    assert tags == {"s": "name", "n": -42, "f": 1.5, "b": True}
+    assert isinstance(tags["n"], int) and isinstance(tags["f"], float)
+    assert isinstance(tags["b"], bool)
