@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The Spark-side plumbing is REAL and tested — schemas, Arrow batch shapes,
-partition-preserving mapInPandas transforms, typed metadata extraction —
-while the codec step is a clearly-marked stub (no image/audio libraries in
-this environment): `decode_image` raises NotImplementedError unless
-`fake=True`, in which case a deterministic fake decoder (bytes -> shape +
-checksum "features") exercises the full pipeline.
+The image path is REAL: a pure stdlib-zlib + NumPy PNG decoder (all five
+scanline filters: None/Sub/Up/Average/Paeth per the PNG spec) feeds the
+feature extractor — no image libraries needed. Non-PNG codecs (JPEG,
+audio, video) remain clearly-marked stubs: `decode_media` raises
+NotImplementedError for them unless `fake=True`, in which case a
+deterministic stand-in (bytes -> shape + checksum "features") exercises
+the same schema, partitioning, and batch shape.
 
 At 100 TB: binary payloads dominate bytes; the rules encoded here —
 project metadata columns WITHOUT touching the binary (column pruning keeps
@@ -65,14 +66,85 @@ def synth_media(spark, n: int, parts: int = 4) -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes):
+    """Pure-Python PNG decoder (stdlib zlib + NumPy): 8-bit RGBA/RGB/gray,
+    ALL five scanline filters (PNG spec §9: None, Sub, Up, Average, Paeth).
+    Returns an (h, w, channels) uint8 array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    i = 8
+    w = h = 0
+    channels = 4
+    idat = bytearray()
+    while i < len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        typ = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+            if bit_depth != 8:
+                raise NotImplementedError("8-bit PNG only")
+            channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color_type}")
+        elif typ == b"IDAT":
+            idat += payload
+        i += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            cur = line.astype(np.int32)
+            res = np.zeros(stride, dtype=np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = res[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                if ftype == 1:
+                    res[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    res[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = pv[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    res[x] = (cur[x] + pred) & 0xFF
+            line = res.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, channels)
+
+
 def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> DataFrame:
     """Decode + feature-extract in Arrow batches.
 
-    fake=False raises NotImplementedError at task time (codec libraries are
-    not available in this environment — STUB, clearly marked). fake=True
-    runs a deterministic stand-in: width/height from payload length, a
-    feature vector from the payload's rolling checksum — same schema,
-    partitioning, and batch shape as a real decoder.
+    PNG payloads decode FOR REAL (decode_png): width/height from IHDR,
+    features = per-channel pixel means (float32). Other codecs raise
+    NotImplementedError at task time unless fake=True, which runs the
+    deterministic stand-in (width/height from payload length, rolling
+    checksum features) — same schema, partitioning, and batch shape.
     """
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,15 +153,30 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs not available in this environment; "
-                    "pass fake=True for the deterministic stand-in"
-                )
             rows = []
             for r in pdf.itertuples(index=False):
                 buf = bytes(r.payload)
                 h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
+                if buf[:8] == _PNG_MAGIC:
+                    img = decode_png(buf)
+                    feats = img.reshape(-1, img.shape[2]).mean(axis=0)
+                    rows.append(
+                        {
+                            "media_id": int(r.media_id),
+                            "content_hash": h,
+                            "n_bytes": len(buf),
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "features": feats.astype(np.float32).tolist(),
+                        }
+                    )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-PNG media codecs not available in this "
+                        "environment; pass fake=True for the deterministic "
+                        "stand-in"
+                    )
                 arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
                 pad = (-len(arr)) % feature_dim
                 if pad:
@@ -108,6 +195,40 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(go, schema=FEATURE_SCHEMA)
+
+
+def synth_png_media(spark=None, n: int | None = None, parts: int = 4,
+                    size: int = 16, ids: DataFrame | None = None) -> DataFrame:
+    """REAL deterministic PNG media: per id, a size x size RGBA image with
+    r=(x+id)%256, g=(y+id)%256, b=(x+2y+id)%256, a=255 — closed-form pixel
+    stats make the decode path oracle-checkable. Pass `ids` (one media_id
+    column) or (spark, n)."""
+    from .tiles import _write_png_rgba
+
+    if ids is None:
+        ids = spark.range(n).repartition(parts).select(F.col("id").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                x = np.arange(size, dtype=np.int64)[None, :]
+                y = np.arange(size, dtype=np.int64)[:, None]
+                img = np.zeros((size, size, 4), dtype=np.uint8)
+                img[:, :, 0] = (x + mid) % 256
+                img[:, :, 1] = (y + mid) % 256
+                img[:, :, 2] = (x + 2 * y + mid) % 256
+                img[:, :, 3] = 255
+                rows.append(
+                    {"media_id": mid, "kind": "image", "mime": "image/png",
+                     "payload": _write_png_rgba(img), "meta": None}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

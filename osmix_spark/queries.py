@@ -1314,6 +1314,47 @@ def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode",
+    """
+    WITH g AS (SELECT doc_id AS media_id FROM documents),
+    px AS (
+      SELECT media_id, xx.x, yy.y FROM g, range(0, 16) xx(x), range(0, 16) yy(y)
+    ),
+    m AS (
+      SELECT media_id,
+             (sum((x + media_id) % 256)::DOUBLE / 256.0) AS mr,
+             (sum((y + media_id) % 256)::DOUBLE / 256.0) AS mg,
+             (sum((x + 2 * y + media_id) % 256)::DOUBLE / 256.0) AS mb
+      FROM px GROUP BY media_id
+    )
+    SELECT media_id, 16::INT AS width, 16::INT AS height,
+           round(mr::REAL::DOUBLE, 5) AS mean_r,
+           round(mg::REAL::DOUBLE, 5) AS mean_g,
+           round(mb::REAL::DOUBLE, 5) AS mean_b,
+           round(CAST(255.0 AS REAL)::DOUBLE, 5) AS mean_a
+    FROM m
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: deterministic RGBA PNGs are generated per
+    document id, decoded by the pure stdlib-zlib PNG decoder
+    (operators/multimodal.decode_png), and per-channel pixel means are
+    hash-compared against the closed-form expectation in SQL."""
+    from .operators import multimodal as _mm
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = _mm.synth_png_media(ids=docs, size=16)
+    out = _mm.decode_media(media)
+    return out.select(
+        "media_id", "width", "height",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 5).alias(name)
+            for i, name in enumerate(["mean_r", "mean_g", "mean_b", "mean_a"])
+        ],
+    )
+
+
+@_q(
     "events_sessionize",
     """
     WITH marked AS (
