@@ -95,6 +95,14 @@ def main() -> None:
         "osm_ring_assembly",
         "osm_relation_kind",
         "embed_ann_ivf",
+        # round-2 additions
+        "osm_dedupe_ways",
+        "shortbread_layers",
+        "osm_to_geojson",
+        "multimodal_decode",
+        "embed_ann_lsh",
+        "tile_raster_stats",
+        "tile_way_mvt_stats",
     ]
     timings: dict[str, float] = {}
 
@@ -130,8 +138,35 @@ def main() -> None:
         "flagship_pages": n_pages,
         "flagship_pages_per_sec": round(n_pages / flagship_sec, 1),
     }
+    deltas = _deltas_vs_prev_round(timings)
+    if deltas:
+        out["deltas_vs_prev"] = deltas
     print(json.dumps(out))
     spark.stop()
+
+
+def _deltas_vs_prev_round(timings: dict[str, float]) -> dict[str, float]:
+    """Per-query delta (sec, this - prev) against the latest BENCH_r*.json
+    in the repo root, so regressions are visible round over round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not prev_files:
+        return {}
+    try:
+        with open(prev_files[-1]) as f:
+            prev = json.load(f)
+        prev_q = prev.get("parsed", prev).get("queries", {})
+    except Exception:
+        return {}
+    return {
+        k: round(v - prev_q[k], 3) for k, v in timings.items() if k in prev_q
+    }
 
 
 if __name__ == "__main__":

@@ -74,26 +74,42 @@ def encode_point_mvt(points_px: DataFrame, layer: str = "points",
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib
 
+        import numpy as np
+
         z, tx, ty = int(key[0]), int(key[1]), int(key[2])
         pdf = pdf.sort_values(id_col)
-        feats = []
-        for row in pdf.itertuples(index=False):
-            d = row._asdict()
-            feats.append(
-                {
-                    "id": int(d[id_col]),
-                    "type": mvt.GEOM_POINT,
-                    "geometry": [[(int(d["px"]), int(d["py"]))]],
-                    "tags": {c: d[c] for c in tag_cols if d.get(c) is not None},
-                }
-            )
-        buf = mvt.encode_tile({layer: feats})
+        if not tag_cols:
+            # vectorized batch path (bytes identical to the scalar encoder,
+            # property-tested in tests/test_tiles.py)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            buf = mvt._len_delim(3, mvt.encode_lines_layer_np(
+                layer, ids,
+                pdf["px"].to_numpy(dtype=np.int64),
+                pdf["py"].to_numpy(dtype=np.int64),
+                np.ones(len(ids), dtype=np.int64),
+                geom_type=mvt.GEOM_POINT,
+            ))
+            n = len(ids)
+        else:
+            feats = []
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                feats.append(
+                    {
+                        "id": int(d[id_col]),
+                        "type": mvt.GEOM_POINT,
+                        "geometry": [[(int(d["px"]), int(d["py"]))]],
+                        "tags": {c: d[c] for c in tag_cols if d.get(c) is not None},
+                    }
+                )
+            buf = mvt.encode_tile({layer: feats})
+            n = len(feats)
         h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
         return pd.DataFrame(
             [
                 {
                     "z": z, "tx": tx, "ty": ty,
-                    "n_features": len(feats), "size_bytes": len(buf),
+                    "n_features": n, "size_bytes": len(buf),
                     "content_hash": h, "tile": buf,
                 }
             ]
@@ -106,41 +122,71 @@ def encode_point_mvt(points_px: DataFrame, layer: str = "points",
     )
 
 
-def encode_way_mvt(ways_px: DataFrame, layer: str = "ways") -> DataFrame:
+def encode_way_mvt(ways_px: DataFrame, layer: str = "ways",
+                   id_block: int = 8192) -> DataFrame:
     """ways_px: (z, tx, ty, way_id, pxs array<int>, pys array<int>) — one row
     per (way, covering tile) with extent-space vertex arrays (may extend
     past the tile edge into the 64 px buffer; clipping to extent+buffer is
-    done here)."""
+    done here).
+
+    TWO-STAGE parallel encode: protobuf feature frames are independent
+    length-delimited submessages, so stage 1 encodes fixed id-range blocks
+    of each tile in parallel (groupBy (tile, way_id // id_block)) and
+    stage 2 concatenates block frames in id order and wraps the layer —
+    bytes identical to a single sorted pass, but the parallelism is
+    #tiles x #blocks instead of #tiles (dense tiles stop being stragglers).
+    """
     lo, hi = -mvt.BUFFER_PX, mvt.EXTENT + mvt.BUFFER_PX
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        z, tx, ty, blk = int(key[0]), int(key[1]), int(key[2]), int(key[3])
+        pdf = pdf.sort_values("way_id")
+        # vectorized batch path: clamp -> cleanCoords (consecutive-dup drop,
+        # change/src/utils.ts:86-98) -> drop degenerate features -> encode;
+        # bytes identical to the scalar encoder (property-tested)
+        ids0 = pdf["way_id"].to_numpy(dtype=np.int64)
+        lens0 = np.fromiter((len(a) for a in pdf["pxs"]), dtype=np.int64,
+                            count=len(ids0))
+        X = np.clip(np.concatenate(pdf["pxs"].to_list()).astype(np.int64), lo, hi)
+        Y = np.clip(np.concatenate(pdf["pys"].to_list()).astype(np.int64), lo, hi)
+        starts = np.zeros(len(ids0), dtype=np.int64)
+        np.cumsum(lens0[:-1], out=starts[1:])
+        keep = np.ones(len(X), dtype=bool)
+        keep[1:] = (X[1:] != X[:-1]) | (Y[1:] != Y[:-1])
+        keep[starts] = True
+        f_of = np.repeat(np.arange(len(ids0)), lens0)
+        klens = np.bincount(f_of[keep], minlength=len(ids0))
+        sel = klens >= 2
+        vkeep = keep & sel[f_of]
+        ids, lens = ids0[sel], klens[sel]
+        frames = mvt.encode_line_frames_np(ids, X[vkeep], Y[vkeep], lens)
+        return pd.DataFrame(
+            [{"z": z, "tx": tx, "ty": ty, "blk": blk,
+              "n": int(len(ids)), "frames": frames}]
+        )
+
+    def merge_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib
 
         z, tx, ty = int(key[0]), int(key[1]), int(key[2])
-        pdf = pdf.sort_values("way_id")
-        feats = []
-        for row in pdf.itertuples(index=False):
-            pts = [
-                (max(lo, min(hi, int(x))), max(lo, min(hi, int(y))))
-                for x, y in zip(row.pxs, row.pys)
-            ]
-            # drop consecutive duplicates after clamping (cleanCoords,
-            # change/src/utils.ts:86-98)
-            cleaned = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
-            if len(cleaned) < 2:
-                continue
-            feats.append(
-                {"id": int(row.way_id), "type": mvt.GEOM_LINESTRING,
-                 "geometry": [cleaned], "tags": {}}
-            )
-        buf = mvt.encode_tile({layer: feats})
+        pdf = pdf.sort_values("blk")
+        frames = b"".join(bytes(b) for b in pdf["frames"])
+        buf = mvt._len_delim(3, mvt.layer_wrap(layer, frames))
         h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
         return pd.DataFrame(
-            [{"z": z, "tx": tx, "ty": ty, "n_features": len(feats),
+            [{"z": z, "tx": tx, "ty": ty, "n_features": int(pdf["n"].sum()),
               "size_bytes": len(buf), "content_hash": h, "tile": buf}]
         )
 
-    return ways_px.groupBy("z", "tx", "ty").applyInPandas(encode, schema=MVT_SCHEMA)
+    blocks = ways_px.withColumn(
+        "__blk", F.floor(F.col("way_id") / F.lit(id_block)).cast("long")
+    )
+    stage1 = blocks.groupBy("z", "tx", "ty", "__blk").applyInPandas(
+        encode_block, schema="z int, tx long, ty long, blk long, n int, frames binary"
+    )
+    return stage1.groupBy("z", "tx", "ty").applyInPandas(merge_tile, schema=MVT_SCHEMA)
 
 
 def _shoelace_px(pts: list[tuple[int, int]]) -> float:
@@ -828,28 +874,12 @@ def mvt_decoded_stats(tiles: DataFrame, layer: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                feats = mvt.decode_tile(bytes(r.tile)).get(layer, [])
-                xs: list[int] = []
-                ys: list[int] = []
-                sum_ids = 0
-                for f in feats:
-                    sum_ids += int(f["id"] or 0)
-                    for part in f["geometry"]:
-                        for x, y in part:
-                            xs.append(int(x))
-                            ys.append(int(y))
-                if not feats:
+                # vectorized varint decode (general geometries fall back to
+                # the scalar decoder per feature inside)
+                s = mvt.decode_tile_stats_np(bytes(r.tile)).get(layer)
+                if s is None or not s["n_features"]:
                     continue
-                rows.append(
-                    {
-                        "z": int(r.z), "tx": int(r.tx), "ty": int(r.ty),
-                        "n_features": len(feats), "n_vertices": len(xs),
-                        "sum_px": sum(xs), "sum_py": sum(ys),
-                        "min_px": min(xs), "max_px": max(xs),
-                        "min_py": min(ys), "max_py": max(ys),
-                        "sum_ids": sum_ids,
-                    }
-                )
+                rows.append({"z": int(r.z), "tx": int(r.tx), "ty": int(r.ty), **s})
             if rows:
                 yield pd.DataFrame(rows, columns=[f.name for f in MVT_STATS_SCHEMA.fields])
 

@@ -55,3 +55,40 @@ def test_geo_kernel_stays_jvm_side(spark, sf_dir):
     plan = _final_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+def test_shortbread_layers_stays_jvm_side(spark, sf_dir):
+    import __spark_entry__ as em
+
+    df = em.queries()["shortbread_layers"](spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_geojson_node_way_paths_stay_jvm_side(spark, sf_dir):
+    """Node and way feature serialization is pure Catalyst (JSON via
+    concat/format_string/to_json) — no Python in the two big paths."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators import geojson_export as gj
+
+    nodes = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"),
+        (F.col("p_partkey") * 0.001).alias("lon"),
+        (F.col("p_partkey") * 0.0005).alias("lat"),
+        F.create_map(F.lit("name"), F.col("p_name")).alias("tags"),
+    )
+    plan = _final_plan(gj.nodes_to_features(nodes))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bbox_overlap_join_no_cartesian(spark, sf_dir):
+    """The adaptive-cover overlap join must stay an equi-join union — a
+    cartesian/broadcast-nested-loop here would melt at scale."""
+    import __spark_entry__ as em
+
+    df = em.queries()["geo_bbox_overlap_join"](spark, sf_dir)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
