@@ -902,6 +902,36 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_AB = """
+    list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> a.vec[i] * a.vec[i])))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> b.vec[i] * b.vec[i]))))
+"""
+
+@_q(
+    "embed_near_dupes",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_COS_AB}, 6) AS cosine
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.25
+    """,
+)
+def embed_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within buckets (here the label
+    column; at scale an LSH bucket) — operators/dedupe.embedding_near_dupes.
+    Never all-pairs: the join is a bucket equi-join."""
+    from .operators import dedupe as _dedupe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _dedupe.embedding_near_dupes(emb, bucket_col="label", threshold=0.25)
+
+
 # ===========================================================================
 # SimHash / Jaccard / sessionization / extract / relations / multimodal
 # (appended operator coverage — same lockstep-oracle discipline)
@@ -1865,6 +1895,144 @@ def osm_to_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes, ways, relations, members = _gj_fixture(spark, sf_dir)
     return gj.to_geojson_features(nodes, ways, relations, members)
+
+
+# --- full merge pipeline (§3.2 merge.ts:43-110, stages 1-6) -----------------
+
+_MP_GRID_LON = "(-120.0 + (((%s) * 37) %% 500)::DOUBLE * 0.0005)"
+_MP_GRID_LAT = "(46.0 + (((%s) * 91) %% 500)::DOUBLE * 0.0005)"
+
+
+def _mp_fixture(spark: SparkSession, sf_dir: str):
+    """Planted merge fixture:
+    - base nodes: part ids < 200 at grid(id % 100) — classes {c, c+100}
+      coincide exactly (stage-2 dedupe: max id survives, v0 ties);
+    - patch nodes: 1000+k (k < 50) on class-k positions with version 1
+      (stage-6 dedupe: beats the v0 base survivor);
+    - base ways: documents-derived with duplicate trios (geometry groups =
+      src % 75; half full ties -> min id, half graded versions);
+    - patch ways: ids = 15 mod 20 with refs to base-survivor node ids and
+      identical tags per (id % 75) group — exercises the isWayEqual
+      property path (their refs don't resolve against patch nodes)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    cls = F.col("p_partkey") % 100
+    base_nodes = part.select(
+        F.col("p_partkey").alias("id"),
+        (F.lit(-120.0) + ((cls * 37) % 500).cast("double") * 0.0005).alias("lon"),
+        (F.lit(46.0) + ((cls * 91) % 500).cast("double") * 0.0005).alias("lat"),
+        F.lit(None).cast("map<string,string>").alias("tags"),
+    )
+    ppart = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    patch_nodes = ppart.select(
+        (F.col("p_partkey") + 1000).alias("id"),
+        (F.lit(-120.0) + ((F.col("p_partkey") * 37) % 500).cast("double") * 0.0005).alias("lon"),
+        (F.lit(46.0) + ((F.col("p_partkey") * 91) % 500).cast("double") * 0.0005).alias("lat"),
+        F.create_map(F.lit("ext:osm_version"), F.lit("1")).alias("tags"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    src = F.when(m < 3, F.col("doc_id") - m).otherwise(F.col("doc_id"))
+    version = F.when(
+        m < 3,
+        F.when(F.floor(src / 4).cast("long") % 2 == 0, F.lit(1)).otherwise(m),
+    ).otherwise(F.lit(0))
+    g = src % 75
+    base_ways = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(F.sequence(F.lit(0), F.lit(3)), lambda j: (g * 7 + j * 13) % 100).alias("refs"),
+        F.create_map(F.lit("ext:osm_version"), version.cast("string")).alias("tags"),
+    )
+    pg = F.col("doc_id") % 75
+    patch_ways = docs.filter(F.col("doc_id") % 20 == 15).select(
+        F.col("doc_id").alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)), lambda j: 100 + (pg * 7 + (j + 1) * 13) % 100
+        ).alias("refs"),
+        F.create_map(F.lit("ext:osm_version"), F.lit("2")).alias("tags"),
+    )
+    return base_nodes, base_ways, patch_nodes, patch_ways
+
+
+_MP_ORACLE = """
+    WITH bw AS (
+      SELECT doc_id AS id, doc_id % 4 AS m,
+             CASE WHEN doc_id % 4 < 3 THEN doc_id - (doc_id % 4) ELSE doc_id END AS src
+      FROM documents
+    ),
+    bwv AS (
+      SELECT id, src % 75 AS g,
+             CASE WHEN m < 3 THEN (CASE WHEN (src // 4) % 2 = 0 THEN 1 ELSE m END)
+                  ELSE 0 END AS version
+      FROM bw
+    ),
+    -- stage 1: base way dedupe (geometry groups = g; version desc, id asc)
+    base_ways AS (
+      SELECT id, g FROM (
+        SELECT id, g, row_number() OVER (PARTITION BY g ORDER BY version DESC, id ASC) AS rn
+        FROM bwv
+      ) WHERE rn = 1
+    ),
+    -- stage 3: patch way dedupe via the isWayEqual property path
+    patch_ways AS (
+      SELECT id, g FROM (
+        SELECT doc_id AS id, doc_id % 75 AS g,
+               row_number() OVER (PARTITION BY doc_id % 75 ORDER BY doc_id ASC) AS rn
+        FROM documents WHERE doc_id % 20 = 15
+      ) WHERE rn = 1
+    ),
+    -- stage 5: LWW upsert (patch wins by id)
+    mw AS (
+      SELECT id, g, 1 AS is_patch FROM patch_ways
+      UNION ALL
+      SELECT id, g, 0 FROM base_ways
+      WHERE id NOT IN (SELECT id FROM patch_ways)
+    ),
+    refs AS (
+      SELECT id, jj.j,
+             CASE WHEN is_patch = 1 THEN 100 + ((g * 7 + (jj.j + 1) * 13) % 100)
+                  ELSE (g * 7 + jj.j * 13) % 100 END AS ref0,
+             is_patch
+      FROM mw, range(0, 4) jj(j)
+    ),
+    -- stage 2 rewrite: base refs -> class survivor (+100); stage 6 rewrite:
+    -- classes < 50 -> the v1 patch node
+    final_refs AS (
+      SELECT id AS way_id, j AS seq,
+             CASE WHEN r1 - 100 < 50 THEN 1000 + (r1 - 100) ELSE r1 END AS ref
+      FROM (SELECT id, j, CASE WHEN is_patch = 1 THEN ref0 ELSE ref0 + 100 END AS r1 FROM refs)
+    ),
+    final_nodes AS (
+      SELECT 1000 + kk.k AS node_id FROM range(0, 50) kk(k)
+      UNION ALL
+      SELECT 100 + kk.k FROM range(50, 100) kk(k)
+    )
+    SELECT 'ref' AS kind, way_id, seq::INT AS seq, ref FROM final_refs
+    UNION ALL
+    SELECT 'node' AS kind, node_id, 0::INT, node_id FROM final_nodes
+"""
+
+
+@_q("osm_merge_pipeline", _MP_ORACLE)
+def osm_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP §3.2 pipeline (merge.ts:43-110) end to end, oracle-
+    backed: base/patch way dedupe (incl. the isWayEqual property path on
+    unresolvable patch refs), coincident-node dedupe with ref rewriting,
+    LWW upsert, final cross-dataset dedupe. The oracle computes the exact
+    expected end state analytically from the planted fixture."""
+    from .operators import pipeline as _pipeline
+
+    bn, bw, pn, pw = _mp_fixture(spark, sf_dir)
+    nodes, ways, _stats = _pipeline.merge_datasets(
+        bn, bw, pn, pw, create_intersections=False
+    )
+    refs = ways.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("seq", "ref")
+    ).select(F.lit("ref").alias("kind"), "way_id", F.col("seq").cast("int").alias("seq"), "ref")
+    nd = nodes.select(
+        F.lit("node").alias("kind"), F.col("id").alias("way_id"),
+        F.lit(0).cast("int").alias("seq"), F.col("id").alias("ref"),
+    )
+    return refs.unionByName(nd)
 
 
 # ===========================================================================
