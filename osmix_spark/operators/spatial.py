@@ -352,19 +352,50 @@ def cover_cells(west, south, east, north, z: int, max_cells: int = 256) -> Colum
     return adaptive_cover_cells(west, south, east, north, z)
 
 
+def split_antimeridian(df: DataFrame, west: str = "minx", east: str = "maxx") -> DataFrame:
+    """Normalize antimeridian-wrapping bboxes (west > east) into TWO rows
+    ([west, 180] and [-180, east]) — the distributed twin of the
+    reference's two-query split (nodes.ts:483-489). The overlap-join
+    machinery below requires non-wrapping boxes; apply this first when a
+    layer can contain wrapped geometries (output pairs may then need a
+    per-id distinct)."""
+    w, e = F.col(west), F.col(east)
+    halves = F.when(
+        w > e,
+        F.array(
+            F.struct(w.alias("w"), F.lit(180.0).alias("e")),
+            F.struct(F.lit(-180.0).alias("w"), e.alias("e")),
+        ),
+    ).otherwise(F.array(F.struct(w.alias("w"), e.alias("e"))))
+    return (
+        df.withColumn("__h", F.explode(halves))
+        .withColumn(west, F.col("__h.w"))
+        .withColumn(east, F.col("__h.e"))
+        .drop("__h")
+    )
+
+
 def overlap_candidate_pairs(ax: DataFrame, bx: DataFrame, z: int,
                             a_box: tuple[str, str, str, str],
                             b_box: tuple[str, str, str, str]) -> DataFrame:
     """Coarse phase of a bbox-overlap join: all candidate (a, b) row pairs
     whose adaptive covers are ancestor-related (superset of true overlaps).
-    ax/bx: pre-aliased frames; *_box name their bbox columns. The caller
-    applies the exact predicate and pair dedupe."""
-    a_cov = adaptive_cover_cells(*[F.col(c) for c in a_box], z)
-    b_cov = adaptive_cover_cells(*[F.col(c) for c in b_box], z)
-    a_self = ax.withColumn("__cell", F.explode(a_cov))
-    a_anc = ax.withColumn("__cell", F.explode(cover_with_ancestors(a_cov)))
-    b_self = bx.withColumn("__cell", F.explode(b_cov))
-    b_anc = bx.withColumn("__cell", F.explode(strict_ancestors(b_cov)))
+    ax/bx: pre-aliased frames; *_box name their bbox columns (non-wrapping —
+    see split_antimeridian). The caller applies the exact predicate and
+    pair dedupe."""
+    # materialize the cover as a column FIRST: the ancestor expressions
+    # reference it 2-3x, and inlining the trig-bearing cover tree that many
+    # times bloats codegen (64 KB method limit)
+    a_base = ax.withColumn("__cov", adaptive_cover_cells(*[F.col(c) for c in a_box], z))
+    b_base = bx.withColumn("__cov", adaptive_cover_cells(*[F.col(c) for c in b_box], z))
+    a_self = a_base.withColumn("__cell", F.explode("__cov")).drop("__cov")
+    a_anc = a_base.withColumn(
+        "__cell", F.explode(cover_with_ancestors(F.col("__cov")))
+    ).drop("__cov")
+    b_self = b_base.withColumn("__cell", F.explode("__cov")).drop("__cov")
+    b_anc = b_base.withColumn(
+        "__cell", F.explode(strict_ancestors(F.col("__cov")))
+    ).drop("__cov")
     # zeff_b <= zeff_a pairs meet at level zeff_b; zeff_a < zeff_b at zeff_a
     j1 = a_anc.join(b_self, "__cell")
     j2 = a_self.join(b_anc, "__cell")

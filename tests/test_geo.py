@@ -214,3 +214,25 @@ def test_adaptive_cover_is_exact_and_small(spark):
         for lon, lat in [(r["minx"], r["miny"]), (r["maxx"], r["maxy"]),
                          (r["minx"], r["maxy"]), (r["maxx"], r["miny"])]:
             assert txy(lon, lat) in cells
+
+
+def test_split_antimeridian_and_overlap(spark):
+    """A wrapped bbox (west > east) split per nodes.ts:483-489 pairs with
+    boxes on BOTH sides of the antimeridian."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators import spatial
+
+    a = spark.createDataFrame(
+        [(1, 170.0, 10.0, -170.0, 12.0)],  # wraps
+        "id long, minx double, miny double, maxx double, maxy double",
+    )
+    b = spark.createDataFrame(
+        [(10, 174.0, 10.5, 175.0, 11.0),    # east side
+         (11, -176.0, 10.5, -175.0, 11.0),  # west side
+         (12, 0.0, 10.5, 1.0, 11.0)],       # far away
+        "id long, minx double, miny double, maxx double, maxy double",
+    )
+    out = spatial.bbox_overlap_join(spatial.split_antimeridian(a), b, z=12)
+    got = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert got == {(1, 10), (1, 11)}
