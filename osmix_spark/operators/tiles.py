@@ -955,3 +955,80 @@ def raster_pixel_stats(tiles: DataFrame) -> DataFrame:
     return tiles.select("z", "tx", "ty", "n_features", "png").mapInPandas(
         stats, schema=RASTER_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# shortbread multi-layer tiles (T3 x T1 — the reference's encoder.ts:
+# classify entities into layers, emit ONE multi-layer MVT per tile with
+# layers in SHORTBREAD_LAYERS order, empty layers dropped,
+# encoder.ts:191-246)
+# ---------------------------------------------------------------------------
+
+
+def shortbread_point_tiles(tagged_points: DataFrame, z: int) -> DataFrame:
+    """tagged_points (id, lon, lat, tags map) -> per-tile multi-layer
+    shortbread MVT for the Point-geometry layers. Features carry their
+    `kind` as a tag (typed tag path); layer order and empty-layer dropping
+    match encoder.ts exactly."""
+    from .shortbread import LAYER_NAMES, layer_matches
+
+    matched = tagged_points.select(
+        "id", "lon", "lat",
+        F.explode(layer_matches(F.col("tags"), F.lit("Point"))).alias("e"),
+    ).select("id", "lon", "lat", F.col("e.layer").alias("layer"),
+             F.col("e.kind").alias("kind"))
+    px = point_tile_px(matched, z=z)
+    order = {name: i for i, name in enumerate(LAYER_NAMES)}
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        zz, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        layers: dict[str, list[dict]] = {}
+        pdf = pdf.sort_values(["layer", "id"])
+        for layer, grp in pdf.groupby("layer", sort=False):
+            feats = [
+                {"id": int(r.id), "type": mvt.GEOM_POINT,
+                 "geometry": [[(int(r.px), int(r.py))]],
+                 "tags": {"kind": r.kind}}
+                for r in grp.itertuples(index=False)
+            ]
+            layers[layer] = feats
+        ordered = {
+            name: layers[name]
+            for name in sorted(layers, key=lambda n: order.get(n, 99))
+        }
+        buf = mvt.encode_tile(ordered)
+        h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
+        return pd.DataFrame(
+            [{"z": zz, "tx": tx, "ty": ty, "n_features": int(len(pdf)),
+              "size_bytes": len(buf), "content_hash": h, "tile": buf}]
+        )
+
+    return px.groupBy("z", "tx", "ty").applyInPandas(encode, schema=MVT_SCHEMA)
+
+
+def mvt_decoded_layer_stats(tiles: DataFrame) -> DataFrame:
+    """Per-(tile, layer) decoded-vertex aggregates over EVERY layer of a
+    multi-layer tile (vectorized decode)."""
+    schema = T.StructType(
+        [T.StructField("z", T.IntegerType(), False),
+         T.StructField("tx", T.LongType(), False),
+         T.StructField("ty", T.LongType(), False),
+         T.StructField("layer", T.StringType(), False)]
+        + [f for f in MVT_STATS_SCHEMA.fields if f.name not in ("z", "tx", "ty")]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for layer, s in mvt.decode_tile_stats_np(bytes(r.tile)).items():
+                    rows.append(
+                        {"z": int(r.z), "tx": int(r.tx), "ty": int(r.ty),
+                         "layer": layer, **s}
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return tiles.select("z", "tx", "ty", "tile").mapInPandas(stats, schema=schema)

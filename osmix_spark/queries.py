@@ -1539,7 +1539,7 @@ _SB_COMBOS: list[dict[str, str | None]] = [
 ]
 
 
-def _sb_tagged_spark(docs: DataFrame) -> DataFrame:
+def _sb_tagged_spark(docs: DataFrame, geom: str | None = None) -> DataFrame:
     from .operators import shortbread as sb  # noqa: F401
 
     m = F.col("doc_id") % len(_SB_COMBOS)
@@ -1555,14 +1555,14 @@ def _sb_tagged_spark(docs: DataFrame) -> DataFrame:
         entries.extend([F.lit("name"), name, F.lit("name:en"), name_en])
         built = F.create_map(*entries)
         tags = F.when(m == i, built) if tags is None else tags.when(m == i, built)
-    geom = F.element_at(
+    geom_c = F.lit(geom) if geom is not None else F.element_at(
         F.lit(["Point", "LineString", "Polygon"]),
         (F.floor(F.col("doc_id") / 24).cast("long") % 3 + 1).cast("int"),
     )
-    return docs.select("doc_id", tags.alias("tags"), geom.alias("geom"))
+    return docs.select("doc_id", tags.alias("tags"), geom_c.alias("geom"))
 
 
-def _sb_tagged_sql() -> str:
+def _sb_tagged_sql(geom: str | None = None) -> str:
     branches = []
     for i, combo in enumerate(_SB_COMBOS):
         keys = [f"'{k}'" for k in combo] + ["'name'", "'name:en'"]
@@ -1574,8 +1574,11 @@ def _sb_tagged_sql() -> str:
             f"WHEN {i} THEN map([{', '.join(keys)}], [{', '.join(vals)}])"
         )
     tags = f"(CASE doc_id % {len(_SB_COMBOS)} {' '.join(branches)} END)"
-    geom = "(CASE (doc_id // 24) % 3 WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' ELSE 'Polygon' END)"
-    return f"SELECT doc_id, {tags} AS tags, {geom} AS geom FROM documents"
+    geom_sql = (
+        f"'{geom}'" if geom is not None
+        else "(CASE (doc_id // 24) % 3 WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' ELSE 'Polygon' END)"
+    )
+    return f"SELECT doc_id, {tags} AS tags, {geom_sql} AS geom FROM documents"
 
 
 def _sb_layers_sql() -> str:
@@ -1615,6 +1618,55 @@ def shortbread_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.intermittent").cast("int").alias("intermittent"),
         "e.housenumber",
     )
+
+
+def _sb_tiles_sql() -> str:
+    from .operators.shortbread import layer_matches_sql
+
+    xf, yf = _tile_frac_sql(DOC_LON_SQL, DOC_LAT_SQL, 12)
+    return f"""
+    WITH tagged AS ({_sb_tagged_sql(geom='Point')}),
+    m AS ({layer_matches_sql('tagged')}),
+    f AS (
+      SELECT doc_id, {xf} AS xf, {yf} AS yf FROM documents
+    ),
+    t AS (
+      SELECT doc_id, floor(xf)::BIGINT AS tx, floor(yf)::BIGINT AS ty,
+             round((xf - floor(xf)) * 4096)::BIGINT AS px,
+             round((yf - floor(yf)) * 4096)::BIGINT AS py
+      FROM f
+    ),
+    per AS (
+      SELECT m.doc_id, m.layer, t.tx, t.ty, t.px, t.py
+      FROM m JOIN t ON t.doc_id = m.doc_id
+    )
+    SELECT 12::INT AS z, tx, ty, layer,
+           count(*)::BIGINT AS n_features, count(*)::BIGINT AS n_vertices,
+           sum(px)::BIGINT AS sum_px, sum(py)::BIGINT AS sum_py,
+           min(px)::BIGINT AS min_px, max(px)::BIGINT AS max_px,
+           min(py)::BIGINT AS min_py, max(py)::BIGINT AS max_py,
+           sum(doc_id)::BIGINT AS sum_ids
+    FROM per GROUP BY tx, ty, layer
+    """
+
+
+@_q("shortbread_tile_stats", _sb_tiles_sql())
+def shortbread_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's shortbread tile build (encoder.ts:191-246) end to
+    end for Point layers: classify -> per-layer features -> ONE multi-layer
+    MVT per tile (layers in SHORTBREAD_LAYERS order, empty layers dropped,
+    kind carried as a feature tag) -> decode back and hash-compare
+    per-(tile, layer) vertex aggregates against SQL recomputing the
+    classification and projection."""
+    from .operators import tiles as tiles_op
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = _sb_tagged_spark(docs, geom="Point")
+    pts = tagged.join(_doc_points(spark, sf_dir), "doc_id").select(
+        F.col("doc_id").alias("id"), "lon", "lat", "tags"
+    )
+    tiles = tiles_op.shortbread_point_tiles(pts, z=12)
+    return tiles_op.mvt_decoded_layer_stats(tiles)
 
 
 # ===========================================================================
