@@ -43,8 +43,9 @@ def token_count(text) -> Column:
 
 
 def bpe_token_count(text) -> Column:
-    """Count of BPE-ish pre-tokens (regexp-based)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_REGEX)))
+    """Count of BPE-ish pre-tokens (regexp-based). Group index 0 = the
+    whole match (the default of 1 requires a capture group and throws)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_REGEX), F.lit(0)))
 
 
 def stopword_ratio(text, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:

@@ -240,3 +240,47 @@ def media_stats(media: DataFrame) -> DataFrame:
         .groupBy("kind")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("total_bytes"))
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize: decode PNG payloads, box-average downsample by
+    `factor` (integer block mean — floor division keeps the transform
+    engine-exact for oracles), re-encode as PNG. RGBA-8 inputs; dimensions
+    truncate to a multiple of `factor`. The training-data 'shrink for
+    thumbnails / vision pretraining' transform, Arrow-batched."""
+    from .tiles import _write_png_rgba
+
+    def go(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_png(bytes(r.payload))
+                if img.shape[2] != 4:
+                    raise NotImplementedError("RGBA-8 resize only")
+                h2 = img.shape[0] // factor
+                w2 = img.shape[1] // factor
+                crop = img[: h2 * factor, : w2 * factor].astype(np.int64)
+                out = (
+                    crop.reshape(h2, factor, w2, factor, 4).sum(axis=(1, 3))
+                    // (factor * factor)
+                ).astype(np.uint8)
+                rows.append(
+                    {"media_id": int(r.media_id), "width": w2, "height": h2,
+                     "payload": _write_png_rgba(out)}
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(go, schema=RESIZED_SCHEMA)

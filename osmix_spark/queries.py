@@ -722,6 +722,29 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL})::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+           {portable_hash64_sql(_NORM_TEXT_SQL, "fp")} AS fingerprint
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex pre-tokens) and document
+    fingerprinting — the per-document accounting columns of a training-data
+    pipeline (functions/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        text.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
 _MINHASH_SEEDS = tuple(f"mh{i}" for i in range(8))
 
 def _minhash_sql() -> str:
@@ -1375,6 +1398,56 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     media = _mm.synth_png_media(ids=docs, size=16)
     out = _mm.decode_media(media)
+    return out.select(
+        "media_id", "width", "height",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 5).alias(name)
+            for i, name in enumerate(["mean_r", "mean_g", "mean_b", "mean_a"])
+        ],
+    )
+
+
+@_q(
+    "multimodal_resize",
+    """
+    WITH g AS (SELECT doc_id AS media_id FROM documents),
+    px AS (
+      SELECT media_id, xx.x AS x2, yy.y AS y2, dxx.v AS dx, dyy.v AS dy
+      FROM g, range(0, 8) xx(x), range(0, 8) yy(y),
+           range(0, 2) dxx(v), range(0, 2) dyy(v)
+    ),
+    b AS (
+      SELECT media_id, x2, y2,
+             (sum((2 * x2 + dx + media_id) % 256) // 4) AS r,
+             (sum((2 * y2 + dy + media_id) % 256) // 4) AS gg,
+             (sum(((2 * x2 + dx) + 2 * (2 * y2 + dy) + media_id) % 256) // 4) AS bb
+      FROM px GROUP BY media_id, x2, y2
+    ),
+    m AS (
+      SELECT media_id, sum(r)::DOUBLE / 64.0 AS mr,
+             sum(gg)::DOUBLE / 64.0 AS mg, sum(bb)::DOUBLE / 64.0 AS mb
+      FROM b GROUP BY media_id
+    )
+    SELECT media_id, 8::INT AS width, 8::INT AS height,
+           round(mr::REAL::DOUBLE, 5) AS mean_r,
+           round(mg::REAL::DOUBLE, 5) AS mean_g,
+           round(mb::REAL::DOUBLE, 5) AS mean_b,
+           round(CAST(255.0 AS REAL)::DOUBLE, 5) AS mean_a
+    FROM m
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize path: generate 16x16 RGBA PNGs per document,
+    box-average downsample 2x (integer block mean), re-encode, decode the
+    RESIZED PNGs back, and hash-compare per-channel means against the
+    closed-form expectation — proves decode -> transform -> encode ->
+    decode end to end."""
+    from .operators import multimodal as _mm
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = _mm.synth_png_media(ids=docs, size=16)
+    resized = _mm.resize_images(media, factor=2)
+    out = _mm.decode_media(resized.withColumn("kind", F.lit("image")))
     return out.select(
         "media_id", "width", "height",
         *[
