@@ -130,3 +130,27 @@ def dedupe_urls_stateful(stream: DataFrame, state_timeout: str = "1 hour") -> Da
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stream(stream: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows: per-(user, session) event counts via the
+    built-in session_window with a late-data watermark — the streaming twin
+    of the batch events_sessionize query (gap-merged sessions close once
+    the watermark passes, so append mode emits each session exactly once).
+
+    Scale: state keys on (user, open session) — bounded by active users in
+    the gap horizon; the watermark evicts closed sessions."""
+    # event-time columns must be TIMESTAMP (watermarks reject TIMESTAMP_NTZ)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            user_col, "n_events",
+        )
+    )

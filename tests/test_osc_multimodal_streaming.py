@@ -245,3 +245,46 @@ def test_decode_media_real_png(spark):
         exp_r = sum((x + mid) % 256 for x in range(8)) / 8
         assert abs(r["features"][0] - exp_r) < 1e-4
         assert r["features"][3] == 255.0
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming session windows (availableNow) emit exactly the batch
+    session_window result — wiring proof for watermark + append mode."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.streaming import ingest
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_dir = str(tmp_path / "src")
+    events.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    out = ingest.sessionize_stream(stream)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ingest.run_available_now(out, ckpt, out_dir)
+    # sessions near max event time stay OPEN until the watermark passes
+    # them (correct append-mode semantics): drop a far-future sentinel
+    # event and drain again to flush the tail
+    flush = events.orderBy(F.desc("ts")).limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        "event_type", "value", "props",
+    )
+    flush.write.mode("append").parquet(src_dir)
+    stream2 = spark.readStream.schema(events.schema).parquet(src_dir)
+    ingest.run_available_now(ingest.sessionize_stream(stream2), ckpt, out_dir)
+    got = spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+    expected = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "user_id", "n_events")
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e and len(g) > 0
+    # every event lands in exactly one session
+    assert sum(r["n_events"] for r in got.collect()) == events.count()
