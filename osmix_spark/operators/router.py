@@ -179,3 +179,18 @@ def reconstruct_path(dist: DataFrame, target: int, max_hops: int = 10_000) -> li
     rows = reconstruct_path_df(dist, target, max_hops).collect()
     ordered = [r["node"] for r in sorted(rows, key=lambda r: -r["pos"])]
     return ordered
+
+
+def route(edges: DataFrame, source: int, target: int,
+          max_rounds: int = 200, max_hops: int = 10_000,
+          broadcast_edges: bool = True) -> DataFrame:
+    """Point-to-point route (the reference router's user-facing API,
+    packages/router/src/router.ts): SSSP from `source`, then the exact
+    predecessor chain to `target` via distributed pointer doubling.
+    Returns DataFrame(pos, node, dist) where pos counts hops from the
+    TARGET (pos 0 = target, max pos = source); empty if unreachable."""
+    dist = shortest_path(edges, source, max_rounds, broadcast_edges)
+    if dist.filter(F.col("node") == target).isEmpty():
+        return dist.sparkSession.createDataFrame([], "pos long, node long, dist double")
+    path = reconstruct_path_df(dist, target, max_hops)
+    return path.join(dist.select("node", "dist"), "node").select("pos", "node", "dist")

@@ -2303,6 +2303,62 @@ def _ann_ivf_sql(n_centroids: int = 8, n_probe: int = 4, iters: int = 2,
     """
 
 
+def _route_p2p_oracle_sql(target: int = 59, rounds: int = 44, hops: int = 24) -> str:
+    """Bellman-Ford fixpoint + deterministic predecessor (min optimal pred,
+    exact: weights are quarter-multiples so d(u) + w == d(n) compares
+    float-exactly) + the via chain unrolled from the target."""
+    base = _route_oracle_sql(rounds)
+    base = base[: base.rindex("SELECT node::BIGINT")]  # keep the CTE chain
+    parts = [
+        base.rstrip().rstrip(",") + ",",
+        f"""via AS MATERIALIZED (
+          SELECT d.node, min(e.src) AS via
+          FROM d{rounds} d
+          JOIN ee e ON e.dst = d.node
+          JOIN d{rounds} du ON du.node = e.src AND du.dist + e.w = d.dist
+          GROUP BY d.node
+        ),""",
+        f"c0(pos, node) AS (SELECT 0::BIGINT, {target}::BIGINT),",
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT (c.pos + 1)::BIGINT AS pos, v.via AS node "
+            f"FROM c{k-1} c JOIN via v ON v.node = c.node WHERE c.node <> 0),"
+        )
+    union = " UNION ALL ".join(f"SELECT pos, node FROM c{k}" for k in range(hops + 1))
+    parts.append(
+        f"""chain AS MATERIALIZED ({union})
+        SELECT c.pos, c.node, d.dist
+        FROM chain c JOIN d{rounds} d ON d.node = c.node"""
+    )
+    return "\n".join(parts)
+
+
+@_q("osm_route_p2p", _route_p2p_oracle_sql())
+def osm_route_p2p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router's user-facing point-to-point API (router.route): SSSP +
+    the EXACT reconstructed path via distributed pointer doubling — the
+    oracle rebuilds the deterministic predecessor chain (min optimal pred)
+    from the Bellman-Ford fixpoint and walks it from the target."""
+    from .operators import router
+
+    ids = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") >= 0) & (F.col("c_custkey") <= _GRID_N - 1)
+    ).select(F.col("c_custkey").alias("id"))
+    right = ids.filter(
+        (F.col("id") % _GRID_W != _GRID_W - 1) & (F.col("id") + 1 <= _GRID_N - 1)
+    ).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    down = ids.filter(F.col("id") + _GRID_W <= _GRID_N - 1).select(
+        F.col("id").alias("src"), (F.col("id") + _GRID_W).alias("dst")
+    )
+    ew = right.unionByName(down).select(
+        "src", "dst",
+        (F.lit(1.0) + ((F.col("src") * 7 + F.col("dst") * 13) % 8).cast("double") * 0.25).alias("w"),
+    )
+    edges = ew.unionByName(ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    return router.route(edges, source=0, target=_GRID_N - 1)
+
+
 @_q("embed_ann_ivf", _ann_ivf_sql())
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-file ANN (operators/similarity.ivf_topk): deterministic
