@@ -152,9 +152,14 @@ def _deltas_vs_prev_round(timings: dict[str, float]) -> dict[str, float]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
     prev_files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json")) if round_no(p) >= 0),
+        key=round_no,
     )
     if not prev_files:
         return {}

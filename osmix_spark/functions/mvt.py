@@ -535,6 +535,14 @@ def decode_tile_stats_np(buf: bytes) -> dict[str, dict]:
             continue
         all_geom = b"".join(layer_buf[a:b] for a, b in geom_spans)
         geoms = geom_spans
+        if not all_geom:  # features exist but none carry geometry
+            out[name] = {
+                "n_features": len(ids), "n_vertices": 0,
+                "sum_px": 0, "sum_py": 0,
+                "min_px": 0, "max_px": 0, "min_py": 0, "max_py": 0,
+                "sum_ids": int(np.asarray(ids, dtype=np.int64).sum()),
+            }
+            continue
         glens = np.array([b - a for a, b in geoms], dtype=np.int64)
         goffs = np.zeros(len(geoms), dtype=np.int64)
         np.cumsum(glens[:-1], out=goffs[1:])
@@ -589,8 +597,10 @@ def decode_tile_stats_np(buf: bytes) -> dict[str, dict]:
         out[name] = {
             "n_features": n_feats, "n_vertices": int(len(X)),
             "sum_px": int(X.sum()), "sum_py": int(Y.sum()),
-            "min_px": int(X.min()), "max_px": int(X.max()),
-            "min_py": int(Y.min()), "max_py": int(Y.max()),
+            "min_px": int(X.min()) if len(X) else 0,
+            "max_px": int(X.max()) if len(X) else 0,
+            "min_py": int(Y.min()) if len(Y) else 0,
+            "max_py": int(Y.max()) if len(Y) else 0,
             "sum_ids": sum_ids,
         }
     return out

@@ -61,8 +61,15 @@ def _props_json(id_col: Column, etype: str, tags: Column) -> Column:
         filtered.isNotNull() & (F.size(filtered) > 0),
         F.concat(F.lit(","), tj.substr(F.lit(2), F.length(tj) - 2)),
     ).otherwise(F.lit(""))
+    # an `id` TAG overrides the numeric id value too (JS spread); escape it
+    # via to_json on a singleton array and strip the brackets
+    id_tag = F.element_at(tags, F.lit("id"))
+    id_tag_json = F.to_json(F.array(id_tag))
+    id_val = F.when(
+        id_tag.isNotNull(), id_tag_json.substr(F.lit(2), F.length(id_tag_json) - 2)
+    ).otherwise(id_col.cast("string"))
     return F.concat(
-        F.lit('{"id":'), id_col.cast("string"),
+        F.lit('{"id":'), id_val,
         F.lit(',"type":"'), type_val, F.lit('"'), rest, F.lit("}"),
     )
 
@@ -237,7 +244,7 @@ def _line_geometry_json(members: DataFrame, ways: DataFrame, nodes: DataFrame,
         .select("way_id", F.col("s.lon").alias("lons"), F.col("s.lat").alias("lats"))
     )
     m = members.filter(F.col("member_type") == "way").select(
-        "relation_id", F.col("member_ref").alias("way_id"),
+        "relation_id", F.col("member_ref").alias("way_id"), "seq",
         F.lower(F.coalesce("role", F.lit(""))).alias("role"),
     ).join(coords, "way_id")
 
@@ -247,9 +254,12 @@ def _line_geometry_json(members: DataFrame, ways: DataFrame, nodes: DataFrame,
         groups = [pdf] if len(roles) <= 1 else [pdf[pdf["role"] == r] for r in roles]
         lines: list[list] = []
         for grp in groups:
+            # MEMBER order, not way-id order: greedy chaining is
+            # order-sensitive and the reference consumes relation.members
+            # in sequence (relation-kind.ts:160-215)
             ways_c = [
                 list(zip(r.lons, r.lats))
-                for r in grp.sort_values("way_id").itertuples(index=False)
+                for r in grp.sort_values("seq").itertuples(index=False)
             ]
             lines.extend(_chain_open(ways_c))
 

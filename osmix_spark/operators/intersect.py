@@ -236,7 +236,9 @@ def create_intersections(ways: DataFrame, nodes: DataFrame, z: int = 13):
     """Full J10: returns (new_nodes, updated_ways, tagged_node_ids, stats).
 
     new_nodes: (id, lon, lat, tags={crossing:yes}) with deterministic ids
-    max(node id) + dense_rank(px, py).
+    max(node id) + rank in (cell, px, py) order — parallel-safe via
+    per-cell offsets; any fixed total order matches the reference's
+    sequential max+1 counter in effect.
     updated_ways: the input ways with new refs spliced in.
     tagged_node_ids: existing node ids that gain crossing=yes.
     """

@@ -42,7 +42,9 @@ def entity_version(tags) -> F.Column:
     """tags['ext:osm_version'] as int, default 0
     (packages/change/src/utils.ts:243-247)."""
     v = F.element_at(tags, F.lit("ext:osm_version"))
-    return F.coalesce(v.cast("int"), F.lit(0))
+    # try_cast: a malformed version tag must mean "version 0", not an
+    # ANSI-mode CAST_INVALID_INPUT job abort
+    return F.coalesce(v.try_cast("int"), F.lit(0))
 
 
 def tag_count(tags) -> F.Column:

@@ -89,9 +89,15 @@ def decode_png(data: bytes):
         typ = data[i + 4 : i + 8]
         payload = data[i + 8 : i + 8 + ln]
         if typ == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
             if bit_depth != 8:
                 raise NotImplementedError("8-bit PNG only")
+            if interlace != 0:
+                raise NotImplementedError("interlaced (Adam7) PNG not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
             channels = {0: 1, 2: 3, 6: 4}.get(color_type)
             if channels is None:
                 raise NotImplementedError(f"PNG color type {color_type}")

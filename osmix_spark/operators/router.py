@@ -139,7 +139,9 @@ def reconstruct_path_df(dist: DataFrame, target: int,
         F.when(source_like, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("steps"),
     ).localCheckpoint()
     jumps = [j]
-    k = max(1, math.ceil(math.log2(max(2, max_hops))))
+    # subset sums of {2^0..2^(k-1)}-step tables reach 2^k - 1 hops, so a
+    # path of exactly max_hops needs ceil(log2(max_hops + 1)) tables
+    k = max(1, math.ceil(math.log2(max(2, max_hops + 1))))
     for _ in range(k - 1):
         if j.filter(F.col("steps") > 0).join(
             j.select(F.col("node").alias("anc"), F.col("steps").alias("s2")).filter(F.col("s2") > 0),

@@ -181,8 +181,11 @@ def _pb_sql(expr: str) -> str:
 
 
 def parse_number(col: Column) -> Column:
-    """parseNumber (layers.ts:66-71) as CAST (see module docstring)."""
-    return col.cast("double")
+    """parseNumber (layers.ts:66-71) as TRY_CAST: NULL on malformed input
+    (a plain cast throws under Spark 4's default ANSI mode on real-world
+    tags like maxspeed='50 mph'; see module docstring for the remaining
+    parseFloat divergence)."""
+    return col.try_cast("double")
 
 
 def _pn_sql(expr: str) -> str:

@@ -82,3 +82,47 @@ def test_feature_collection_wrapper(spark):
     fc = json.loads(gj.feature_collection(gj.nodes_to_features(nodes), limit=3))
     assert fc["type"] == "FeatureCollection"
     assert len(fc["features"]) == 3
+
+
+def test_line_relation_chains_in_member_order(spark):
+    """connectWaysToLineStrings consumes members in relation order — a
+    higher-id way listed first must seed the chain (greedy chaining is
+    order-sensitive)."""
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0, None), (2, 1.0, 0.0, None), (3, 2.0, 0.0, None)],
+        "id long, lon double, lat double, tags map<string,string>",
+    )
+    ways = spark.createDataFrame(
+        [(10, [1, 2], None), (20, [2, 3], None)],
+        "id long, refs array<long>, tags map<string,string>",
+    )
+    relations = spark.createDataFrame(
+        [(30, {"type": "route"})], "id long, tags map<string,string>"
+    )
+    members = spark.createDataFrame(
+        [(30, "way", 20, "", 0), (30, "way", 10, "", 1)],  # way 20 FIRST
+        "relation_id long, member_type string, member_ref long, role string, seq int",
+    )
+    import json
+
+    out = gj.relations_to_features(relations, members, ways, nodes).collect()
+    geom = json.loads(out[0]["feature"])["geometry"]
+    # the two ways chain into ONE LineString with all 3 vertices even
+    # though the higher-id way is listed first (member-seq iteration)
+    assert geom["type"] == "LineString"
+    assert len(geom["coordinates"]) == 3
+    assert {tuple(c) for c in geom["coordinates"]} == {(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)}
+
+
+def test_id_tag_overrides_properties_id(spark):
+    """JS spread {id, type, ...tags}: an `id` TAG overrides the numeric id
+    in properties (with JSON escaping)."""
+    import json
+
+    nodes = spark.createDataFrame(
+        [(5, 1.0, 2.0, {"id": 'cu"stom'})],
+        "id long, lon double, lat double, tags map<string,string>",
+    )
+    f = json.loads(gj.nodes_to_features(nodes).collect()[0]["feature"])
+    assert f["properties"]["id"] == 'cu"stom'
+    assert f["id"] == 5  # the FEATURE id stays the entity id

@@ -70,3 +70,26 @@ def test_build_edges_haversine_and_oneway(spark):
     assert (2, 3) in by_pair and (3, 2) not in by_pair
     # 0.001 deg of longitude at the equator ~= 111.3 m
     assert abs(by_pair[(1, 2)] - 111.3) < 1.0
+
+
+def test_reconstruct_path_exact_max_hops(spark):
+    """A path of exactly max_hops hops must fully resolve (regression:
+    2^k - 1 subset-sum shortfall when max_hops is a power of two)."""
+    from osmix_spark.operators import router
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, w double"
+    )
+    dist = router.shortest_path(edges, source=0)
+    assert router.reconstruct_path(dist, target=2, max_hops=2) == [0, 1, 2]
+
+
+def test_route_p2p_small(spark):
+    from osmix_spark.operators import router
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0)], "src long, dst long, w double"
+    )
+    rows = sorted(router.route(edges, 0, 2).collect(), key=lambda r: -r["pos"])
+    assert [r["node"] for r in rows] == [0, 1, 2]
+    assert rows[-1]["dist"] == 3.0

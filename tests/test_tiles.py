@@ -278,3 +278,34 @@ def test_mvt_typed_tag_values_roundtrip():
     assert tags == {"s": "name", "n": -42, "f": 1.5, "b": True}
     assert isinstance(tags["n"], int) and isinstance(tags["f"], float)
     assert isinstance(tags["b"], bool)
+
+
+def test_malformed_numeric_tags_do_not_abort(spark):
+    """parseNumber must be NULL on garbage (try_cast), not an ANSI-mode
+    job abort — real OSM carries maxspeed='50 mph' etc."""
+    from osmix_spark.operators.shortbread import layer_matches
+
+    df = spark.createDataFrame(
+        [(1, {"highway": "primary", "maxspeed": "50 mph", "oneway": "yes"}),
+         (2, {"boundary": "administrative", "admin_level": "yes"})],
+        "id long, tags map<string,string>",
+    )
+    out = df.select(
+        "id", F.explode(layer_matches(F.col("tags"), F.lit("LineString"))).alias("e")
+    ).select("id", "e.layer", "e.kind", "e.maxspeed", "e.admin_level").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert any(r["kind"] == "primary" and r["maxspeed"] is None for r in by_id[1])
+    # non-numeric admin_level -> kind 'administrative' (not a crash)
+    assert any(r["kind"] == "administrative" and r["admin_level"] is None
+               for r in by_id[2])
+
+
+def test_decoded_stats_empty_geometry_layer():
+    """A layer whose features carry no geometry reports n_vertices=0
+    instead of crashing the stats decode."""
+    feats = [{"id": 3, "type": mvt.GEOM_POINT, "geometry": [], "tags": {}}]
+    buf = mvt.encode_tile({"empty": feats})
+    s = mvt.decode_tile_stats_np(buf)["empty"]
+    assert s["n_features"] == 1 and s["n_vertices"] == 0 and s["sum_ids"] == 3
