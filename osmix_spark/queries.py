@@ -652,6 +652,48 @@ def osm_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("price", 2).alias("price"))
 
 
+@_q(
+    "osm_changeset_stats",
+    """
+    SELECT p_partkey AS id,
+           CASE WHEN p_partkey % 7 = 1 THEN 'modify' END AS change_type,
+           round(p_retailprice + 1.0, 2) AS price
+    FROM part WHERE p_partkey % 7 = 1
+    UNION ALL
+    SELECT p_partkey + 5000000, 'create', round(p_retailprice, 2)
+    FROM part WHERE p_partkey % 7 = 3
+    """,
+)
+def osm_changeset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: direct-change classification (changeset.ts:732-780 +
+    entityPropertiesEqual): patch rows that differ -> modify, unseen ->
+    create, identical -> suppressed no-ops. The planted patch modifies ids
+    =1 mod 7, re-sends ids =2 mod 7 unchanged (must vanish), and creates
+    shifted ids for =3 mod 7."""
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").alias("id"), F.round("p_retailprice", 2).alias("price")
+    )
+    patch = (
+        part.filter(F.col("p_partkey") % 7 == 1)
+        .select(F.col("p_partkey").alias("id"),
+                F.round(F.col("p_retailprice") + 1.0, 2).alias("price"))
+        .unionByName(
+            part.filter(F.col("p_partkey") % 7 == 2).select(
+                F.col("p_partkey").alias("id"), F.round("p_retailprice", 2).alias("price")
+            )
+        )
+        .unionByName(
+            part.filter(F.col("p_partkey") % 7 == 3).select(
+                (F.col("p_partkey") + 5000000).alias("id"),
+                F.round("p_retailprice", 2).alias("price"),
+            )
+        )
+    )
+    out = merge.generate_direct_changes(base, patch, key="id")
+    return out.select("id", "change_type", "price")
+
+
 # ===========================================================================
 # Training-data pipeline: dedup / quality / fingerprint (documents table)
 # ===========================================================================
@@ -1690,6 +1732,34 @@ def shortbread_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.oneway").cast("int").alias("oneway"), "e.maxspeed",
         F.col("e.intermittent").cast("int").alias("intermittent"),
         "e.housenumber",
+    )
+
+
+def _tag_stats_sql() -> str:
+    return f"""
+    WITH tagged AS ({_sb_tagged_sql()}),
+    kv AS (
+      SELECT doc_id, unnest(map_entries(tags)) AS e FROM tagged
+    )
+    SELECT e.key AS tag_key, count(*)::BIGINT AS n_entities,
+           count(DISTINCT e.value)::BIGINT AS n_values
+    FROM kv WHERE e.value IS NOT NULL GROUP BY e.key
+    """
+
+
+@_q("osm_tag_stats", _tag_stats_sql())
+def osm_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: tag cardinality — per-key entity counts and distinct-value
+    counts over the tags map (the reference's tag dictionary statistics,
+    core string tables)."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = _sb_tagged_spark(docs)
+    kv = tagged.select("doc_id", F.explode("tags").alias("tag_key", "v")).filter(
+        F.col("v").isNotNull()
+    )
+    return kv.groupBy("tag_key").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.countDistinct("v").alias("n_values"),
     )
 
 
