@@ -672,3 +672,100 @@ def _walk_layer_frames(data: bytes):
         else:
             _, i = rv(data, i)
     return name, ids, types, spans
+
+
+def encode_polygon_frames_np(ids, xs, ys, ring_lens, rings_per_feat) -> bytes:
+    """Vectorized POLYGON feature-frame encoder (no tags).
+
+    ids: (F,) feature ids; xs/ys: concatenated ring vertices WITHOUT the
+    closing point (N,) int64; ring_lens: (R,) open-ring vertex counts
+    (>= 2); rings_per_feat: (F,) ring counts (>= 1). Ring order within a
+    feature is the emission order. Cursor resets per FEATURE and runs
+    across its rings, exactly like the scalar _encode_geometry."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    ring_lens = np.asarray(ring_lens, dtype=np.int64)
+    rings_per_feat = np.asarray(rings_per_feat, dtype=np.int64)
+    F_, R_ = len(ids), len(ring_lens)
+    if F_ == 0:
+        return b""
+    ring_starts = np.zeros(R_, dtype=np.int64)
+    np.cumsum(ring_lens[:-1], out=ring_starts[1:])
+    feat_ring_starts = np.zeros(F_, dtype=np.int64)
+    np.cumsum(rings_per_feat[:-1], out=feat_ring_starts[1:])
+    feat_pt_starts = ring_starts[feat_ring_starts]
+
+    # deltas with cursor reset at FEATURE starts only
+    dx = np.empty_like(xs)
+    dy = np.empty_like(ys)
+    dx[1:] = xs[1:] - xs[:-1]
+    dy[1:] = ys[1:] - ys[:-1]
+    dx[0], dy[0] = xs[0], ys[0]
+    dx[feat_pt_starts] = xs[feat_pt_starts]
+    dy[feat_pt_starts] = ys[feat_pt_starts]
+    zx, zy = _zigzag_np(dx), _zigzag_np(dy)
+
+    # geometry ints per ring: MoveTo|1 + pair + [LineTo + 2(n-1) pairs] +
+    # ClosePath = 2n + 3 ints (n == 1 degenerates to Move + pair + Close = 4)
+    s_ring = np.where(ring_lens >= 2, 2 * ring_lens + 3, 4)
+    # (n==1 ring: MoveTo + pair + Close = 4 ints, no LineTo — matches scalar)
+    g_ring = np.zeros(R_, dtype=np.int64)
+    np.cumsum(s_ring[:-1], out=g_ring[1:])
+    G = np.zeros(int(s_ring.sum()), dtype=np.uint64)
+    G[g_ring] = np.uint64(_CMD_MOVETO | (1 << 3))
+    has_line = ring_lens >= 2
+    G[g_ring[has_line] + 3] = (
+        ((ring_lens[has_line] - 1) << 3) | _CMD_LINETO
+    ).astype(np.uint64)
+    close_pos = g_ring + s_ring - 1
+    G[close_pos] = np.uint64(_CMD_CLOSEPATH | (1 << 3))
+    r_of = np.repeat(np.arange(R_), ring_lens)
+    k = np.arange(len(xs)) - ring_starts[r_of]
+    posx = np.where(k == 0, g_ring[r_of] + 1, g_ring[r_of] + 2 + 2 * k)
+    G[posx] = zx
+    G[posx + 1] = zy
+
+    geom_bytes = _varints_np(G)
+    nb = _varint_nbytes_np(G)
+    ring_blen = np.add.reduceat(nb, g_ring) if R_ else np.zeros(0, dtype=np.int64)
+    # per-feature geometry byte length = sum of its rings'
+    geom_blen = np.add.reduceat(ring_blen, feat_ring_starts)
+    geom_boffs = np.zeros(F_, dtype=np.int64)
+    np.cumsum(geom_blen[:-1], out=geom_boffs[1:])
+
+    ids_u = ids.view(np.uint64)
+    H = np.empty(F_ * 6, dtype=np.uint64)
+    H[0::6] = np.uint64(1 << 3)
+    H[1::6] = ids_u
+    H[2::6] = np.uint64(3 << 3)
+    H[3::6] = np.uint64(GEOM_POLYGON)
+    H[4::6] = np.uint64((4 << 3) | 2)
+    H[5::6] = geom_blen.astype(np.uint64)
+    header_bytes = _varints_np(H)
+    hnb = _varint_nbytes_np(H)
+    header_blen = hnb.reshape(F_, 6).sum(axis=1)
+
+    body_blen = header_blen + geom_blen
+    FR = np.empty(F_ * 2, dtype=np.uint64)
+    FR[0::2] = np.uint64((2 << 3) | 2)
+    FR[1::2] = body_blen.astype(np.uint64)
+    frame_bytes = _varints_np(FR)
+    fnb = _varint_nbytes_np(FR)
+    frame_blen = fnb.reshape(F_, 2).sum(axis=1)
+
+    # assemble: per feature [frame][header][geom]
+    out = bytearray()
+    fb = memoryview(frame_bytes)
+    hb = memoryview(header_bytes)
+    gb = memoryview(geom_bytes)
+    fo = ho = 0
+    for i in range(F_):
+        out += fb[fo : fo + frame_blen[i]]
+        fo += frame_blen[i]
+        out += hb[ho : ho + header_blen[i]]
+        ho += header_blen[i]
+        out += gb[geom_boffs[i] : geom_boffs[i] + geom_blen[i]]
+    return bytes(out)

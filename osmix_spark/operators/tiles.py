@@ -214,11 +214,19 @@ def encode_polygon_mvt(rings_px: DataFrame, layer: str = "areas") -> DataFrame:
         import hashlib
 
         z, tx, ty = int(key[0]), int(key[1]), int(key[2])
-        feats = []
+        # ring prep (clamp/clean/winding) stays per-ring Python — ring
+        # counts are small; the varint-heavy encode is the batched
+        # vectorized path (bytes identical to the scalar encoder,
+        # property-tested)
+        ids: list[int] = []
+        rpf: list[int] = []
+        ring_lens: list[int] = []
+        xs: list[int] = []
+        ys: list[int] = []
         for fid, grp in pdf.sort_values(["feature_id", "ring_index"]).groupby(
             "feature_id", sort=True
         ):
-            rings = []
+            n_rings = 0
             for row in grp.itertuples(index=False):
                 pts = [
                     (max(lo, min(hi, int(x))), max(lo, min(hi, int(y))))
@@ -230,16 +238,23 @@ def encode_polygon_mvt(rings_px: DataFrame, layer: str = "areas") -> DataFrame:
                 want_screen_cw = row.role != "inner"
                 if (_shoelace_px(cleaned) > 0) != want_screen_cw:
                     cleaned = list(reversed(cleaned))
-                rings.append(cleaned)
-            if rings:
-                feats.append(
-                    {"id": int(fid), "type": mvt.GEOM_POLYGON,
-                     "geometry": rings, "tags": {}}
-                )
-        buf = mvt.encode_tile({layer: feats})
+                body = cleaned[:-1]  # implicit close
+                ring_lens.append(len(body))
+                xs.extend(p[0] for p in body)
+                ys.extend(p[1] for p in body)
+                n_rings += 1
+            if n_rings:
+                ids.append(int(fid))
+                rpf.append(n_rings)
+        if ids:
+            buf = mvt._len_delim(3, mvt.layer_wrap(
+                layer, mvt.encode_polygon_frames_np(ids, xs, ys, ring_lens, rpf)
+            ))
+        else:
+            buf = mvt.encode_tile({layer: []})
         h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
         return pd.DataFrame(
-            [{"z": z, "tx": tx, "ty": ty, "n_features": len(feats),
+            [{"z": z, "tx": tx, "ty": ty, "n_features": len(ids),
               "size_bytes": len(buf), "content_hash": h, "tile": buf}]
         )
 

@@ -113,3 +113,35 @@ def test_vectorized_line_encoder_matches_scalar(feats_in):
     assert s["sum_px"] == sum(allx) and s["sum_py"] == sum(ally)
     assert s["min_px"] == min(allx) and s["max_py"] == max(ally)
     assert s["sum_ids"] == sum(ids)
+
+
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**40),
+        st.lists(  # rings: open bodies of >= 3 vertices
+            st.lists(st.tuples(st.integers(min_value=-64, max_value=4160),
+                               st.integers(min_value=-64, max_value=4160)),
+                     min_size=3, max_size=6),
+            min_size=1, max_size=3),
+    ),
+    min_size=1, max_size=6))
+@settings(max_examples=100)
+def test_vectorized_polygon_encoder_matches_scalar(feats_in):
+    import numpy as np  # noqa: F401
+
+    feats = []
+    ids, rl, rpf, xs, ys = [], [], [], [], []
+    for fid, rings in feats_in:
+        closed = [ring + [ring[0]] for ring in rings]
+        feats.append({"id": fid, "type": mvt.GEOM_POLYGON,
+                      "geometry": closed, "tags": {}})
+        ids.append(fid)
+        rpf.append(len(rings))
+        for ring in rings:
+            rl.append(len(ring))
+            xs.extend(p[0] for p in ring)
+            ys.extend(p[1] for p in ring)
+    scalar = mvt.encode_tile({"areas": feats})
+    vec = mvt._len_delim(3, mvt.layer_wrap(
+        "areas", mvt.encode_polygon_frames_np(ids, xs, ys, rl, rpf)))
+    assert vec == scalar
