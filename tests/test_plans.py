@@ -92,3 +92,37 @@ def test_bbox_overlap_join_no_cartesian(spark, sf_dir):
     plan = _final_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cell_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The cell-partitioned layout must prune at PLANNING time: a city-bbox
+    read over a world-spread table plans only the matching partition
+    directories (PartitionFilters + file-count drop)."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.sources import layout, synth
+
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"),
+        # spread points across the globe so partitions are real
+        ((F.col("doc_id") * 37 % 340) - 170.0 + 0.5).alias("lon"),
+        ((F.col("doc_id") * 91 % 140) - 70.0 + 0.5).alias("lat"),
+    )
+    path = str(tmp_path / "cells")
+    layout.write_cell_partitioned(pts, path)
+
+    full = spark.read.parquet(path)
+    pruned = layout.read_bbox(spark, path, -1.0, -1.0, 6.0, 6.0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell_p" in plan
+
+    def n_files(df):
+        return df.select(F.input_file_name()).distinct().count()
+
+    assert n_files(pruned) < n_files(full) / 4
+    # and the result is exactly the brute-force filter
+    expect = pts.filter(
+        (F.col("lon") >= -1.0) & (F.col("lon") <= 6.0)
+        & (F.col("lat") >= -1.0) & (F.col("lat") <= 6.0)
+    ).count()
+    assert pruned.count() == expect
