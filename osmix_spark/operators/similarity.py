@@ -140,7 +140,9 @@ def ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
                         lloyd_iters: int = 2, c_id: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        sample_fraction: float | None = None,
+                        sample_seed: int = 42) -> DataFrame:
     """Deterministic coarse quantizer: seed centroids are the n_centroids
     smallest-id corpus vectors (reproducible, no RNG), refined by
     `lloyd_iters` distributed k-means steps — assign = broadcast argmin
@@ -149,8 +151,13 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
 
     Scale: assignment is a broadcast map-side join over the corpus (one
     pass each iteration); the update shuffle is (n_centroids x dim) rows —
-    tiny at any corpus size.
+    tiny at any corpus size. At 100 TB pass sample_fraction (seeded,
+    deterministic) so the Lloyd passes scan a sample instead of the corpus
+    — k-means centroids converge on far less data than the inverted file
+    indexes.
     """
+    if sample_fraction is not None:
+        corpus = corpus.sample(fraction=sample_fraction, seed=sample_seed)
     seeds = (
         corpus.orderBy(c_id).limit(n_centroids)
         .select(
