@@ -1833,17 +1833,11 @@ _RINGS_SQL = """
 """
 
 
-@_q("osm_ring_assembly", _RINGS_SQL)
-def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multipolygon ring assembly (relation-multipolygon.ts:47-163 +
-    vt/encode.ts winding fix) on synthesized relations: per nation, an
-    outer square split into two member ways (the second stored reversed,
-    exercising end-matching), plus a closed inner ring given CCW
-    (exercising the winding flip). The oracle is the closed-form expected
-    ring set — canonical rotation + survivor winding make the assembled
-    output exactly predictable."""
-    from .operators import rings as rings_op
-
+def _ring_fixture(spark: SparkSession, sf_dir: str):
+    """Per nation: an outer square split into two member ways (the second
+    stored reversed, exercising end-matching) plus a pre-closed inner ring
+    given CCW (exercising the winding flip). Returns (members, ways,
+    nodes)."""
     nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
     cx = F.lit(-100.0) + ((F.col("k") * 13) % 40).cast("double") * F.lit(0.01)
     cy = F.lit(40.0) + ((F.col("k") * 7) % 40).cast("double") * F.lit(0.01)
@@ -1903,7 +1897,18 @@ def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m"),
     ).select("relation_id", F.col("m.member_ref").alias("member_ref"), F.col("m.role").alias("role"))
+    return members, ways, nodes
 
+
+@_q("osm_ring_assembly", _RINGS_SQL)
+def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multipolygon ring assembly (relation-multipolygon.ts:47-163 +
+    vt/encode.ts winding fix) on the planted relation fixture. The oracle
+    is the closed-form expected ring set — canonical rotation + survivor
+    winding make the assembled output exactly predictable."""
+    from .operators import rings as rings_op
+
+    members, ways, nodes = _ring_fixture(spark, sf_dir)
     assembled = rings_op.assemble_relation_rings(members, ways, nodes)
     return assembled.select(
         "relation_id", "ring_index", "role",
@@ -1920,6 +1925,76 @@ def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) > 0, 1
         ).otherwise(0).alias("ccw"),
     ).orderBy("relation_id", "ring_index")
+
+
+def _tile_poly_sql(z: int = 9) -> str:
+    """Decoded polygon-tile stats, closed form: assembled rings are exactly
+    [o1,o2,o3,o4,o1] (outer, CCW, canonical) and [i5,i8,i7,i6,i5] (inner,
+    flipped CW) — closing vertices re-appear on decode (ClosePath), so
+    corners o1/i5 carry weight 2. Vertices clamp to [-64, 4160] per tile."""
+    n = float(1 << z)
+    a, b = 0.004, 0.002
+    corners = ", ".join(
+        f"({dx!r}, {dy!r}, {wt})"
+        for dx, dy, wt in [(-a, -a, 2), (a, -a, 1), (a, a, 1), (-a, a, 1),
+                           (-b, -b, 2), (b, -b, 1), (b, b, 1), (-b, b, 1)]
+    )
+    return f"""
+    WITH c AS (
+      SELECT n_nationkey AS k,
+             (-100.0 + ((n_nationkey * 13) % 40)::DOUBLE * 0.01) AS cx,
+             (40.0 + ((n_nationkey * 7) % 40)::DOUBLE * 0.01) AS cy
+      FROM nation
+    ),
+    corner(dx, dy, wt) AS (VALUES {corners}),
+    f AS (
+      SELECT k, wt,
+             (((cx + dx) / 360.0 + 0.5) * {n}) AS xf,
+             ((0.5 - 0.25 * ln((1.0 + sin(radians(cy + dy)))
+               / (1.0 - sin(radians(cy + dy)))) / pi()) * {n}) AS yf
+      FROM c, corner
+    ),
+    bb AS (
+      SELECT k, floor(min(xf))::BIGINT AS tx0, floor(max(xf))::BIGINT AS tx1,
+             floor(min(yf))::BIGINT AS ty0, floor(max(yf))::BIGINT AS ty1
+      FROM f GROUP BY k
+    ),
+    tilesx AS (SELECT k, unnest(generate_series(tx0, tx1)) AS tx, ty0, ty1 FROM bb),
+    tiles AS (SELECT k, tx, unnest(generate_series(ty0, ty1)) AS ty FROM tilesx),
+    pv AS (
+      SELECT t.k, t.tx, t.ty, f.wt,
+             greatest(-64, least(4160, round((f.xf - t.tx) * 4096)::BIGINT)) AS px,
+             greatest(-64, least(4160, round((f.yf - t.ty) * 4096)::BIGINT)) AS py
+      FROM tiles t JOIN f ON f.k = t.k
+    )
+    SELECT {z}::INT AS z, tx, ty,
+           count(DISTINCT k)::BIGINT AS n_features,
+           sum(wt)::BIGINT AS n_vertices,
+           sum(px * wt)::BIGINT AS sum_px, sum(py * wt)::BIGINT AS sum_py,
+           min(px)::BIGINT AS min_px, max(px)::BIGINT AS max_px,
+           min(py)::BIGINT AS min_py, max(py)::BIGINT AS max_py,
+           sum(DISTINCT k)::BIGINT AS sum_ids
+    FROM pv GROUP BY tx, ty
+    """
+
+
+@_q("tile_polygon_mvt_stats", _tile_poly_sql())
+def tile_polygon_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 polygon tiles end to end: ring assembly -> feature-bbox tile
+    explode -> winding fix -> POLYGON MVT encode (ClosePath geometry) ->
+    decode back; decoded per-tile vertex aggregates hash-compare against
+    the closed-form expectation (incl. the doubled closing corners). z=9
+    keeps off-tile vertices of straddling rings inside the 64 px buffer,
+    so the clamp never collapses a fully-off-tile ring (that degenerate
+    clean-drop is separately pinned in tests)."""
+    from .operators import rings as rings_op
+    from .operators import tiles as tiles_op
+
+    members, ways, nodes = _ring_fixture(spark, sf_dir)
+    assembled = rings_op.assemble_relation_rings(members, ways, nodes)
+    px = tiles_op.ring_tile_px(assembled, z=9)
+    tiles = tiles_op.encode_polygon_mvt(px)
+    return tiles_op.mvt_decoded_stats(tiles, layer="areas")
 
 
 # --- GeoJSON export (entity -> feature, entity-to-feature.ts) ---------------

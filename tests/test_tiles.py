@@ -309,3 +309,22 @@ def test_decoded_stats_empty_geometry_layer():
     buf = mvt.encode_tile({"empty": feats})
     s = mvt.decode_tile_stats_np(buf)["empty"]
     assert s["n_features"] == 1 and s["n_vertices"] == 0 and s["sum_ids"] == 3
+
+
+def test_polygon_ring_fully_off_tile_collapses(spark):
+    """A ring entirely beyond the 64 px buffer clamps to a degenerate
+    (< 4 distinct vertex) shape and is dropped, like the scalar path."""
+    rings_px = spark.createDataFrame(
+        [
+            # valid in-tile square
+            (9, 1, 2, 50, 0, "outer", [100, 500, 500, 100, 100], [100, 100, 500, 500, 100]),
+            # ring far above the tile: every py < -64 after clamping
+            (9, 1, 2, 60, 0, "outer", [100, 500, 500, 100, 100], [-900, -900, -500, -500, -900]),
+        ],
+        "z int, tx long, ty long, feature_id long, ring_index int, role string, "
+        "pxs array<int>, pys array<int>",
+    )
+    rows = tiles.encode_polygon_mvt(rings_px).collect()
+    assert len(rows) == 1 and rows[0]["n_features"] == 1
+    feats = mvt.decode_tile(bytes(rows[0]["tile"]))["areas"]
+    assert [f["id"] for f in feats] == [50]
