@@ -1997,6 +1997,93 @@ def tile_polygon_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_op.mvt_decoded_stats(tiles, layer="areas")
 
 
+def _intersect_oracle_sql(z: int = 13) -> str:
+    """Closed-form J10 expectation: per nation, way A (horizontal, 2 refs)
+    crosses way B (vertical) at t=0.75 along each — a created node (no
+    existing node within 1 m) spliced before each way's nearest vertex
+    (index 1). Created ids replicate the operator's deterministic
+    allocation: max node id + row_number over (cell@z13, px, py)."""
+    return f"""
+    WITH g AS (
+      SELECT n_nationkey AS k,
+             (-80.0 + (n_nationkey % 5)::DOUBLE * 0.5) AS gx,
+             (20.0 + ((n_nationkey // 5) % 5)::DOUBLE * 0.5) AS gy
+      FROM nation
+    ),
+    -- the numpy parametric form replicated op-for-op (denom/t/pt)
+    cross_pt AS (
+      SELECT k, gx, gy,
+             ((gx - 0.003) + (((gx - (gx - 0.003)) * 0.004)
+               / (((gx + 0.001) - (gx - 0.003)) * 0.004)) * ((gx + 0.001) - (gx - 0.003))) AS px,
+             (gy + (((gx - (gx - 0.003)) * 0.004)
+               / (((gx + 0.001) - (gx - 0.003)) * 0.004)) * 0.0) AS py
+      FROM g
+    ),
+    maxid AS (SELECT max(n_nationkey * 10 + 4) AS m FROM nation),
+    ids AS (
+      SELECT k, px, py,
+             (SELECT m FROM maxid)
+             + row_number() OVER (ORDER BY ({_cell_sql('px', 'py', z)}), px, py) AS new_id
+      FROM cross_pt
+    )
+    SELECT 'node' AS kind, new_id AS id, px AS a, py AS b FROM ids
+    UNION ALL
+    SELECT 'ref', (k * 100 + 1)::BIGINT, s.j::DOUBLE,
+           (CASE s.j WHEN 0 THEN k * 10 + 1 WHEN 1 THEN new_id ELSE k * 10 + 2 END)::DOUBLE
+    FROM ids, range(0, 3) s(j)
+    UNION ALL
+    SELECT 'ref', (k * 100 + 2)::BIGINT, s.j::DOUBLE,
+           (CASE s.j WHEN 0 THEN k * 10 + 3 WHEN 1 THEN new_id ELSE k * 10 + 4 END)::DOUBLE
+    FROM ids, range(0, 3) s(j)
+    """
+
+
+@_q("osm_create_intersections", _intersect_oracle_sql())
+def osm_create_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 end to end (changeset.ts:520-719): candidate pairs via the
+    adaptive-cover overlap join, exact segment intersections, created-node
+    id allocation, and nearest-vertex splicing — compared against the
+    closed-form crossing points and spliced ref sequences."""
+    from .operators import intersect as _intersect
+
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    gx = F.lit(-80.0) + (F.col("k") % 5).cast("double") * 0.5
+    gy = F.lit(20.0) + (F.floor(F.col("k") / 5).cast("long") % 5).cast("double") * 0.5
+    base = nation.select("k", gx.alias("gx"), gy.alias("gy"))
+    nodes = base.select(
+        F.explode(F.array(
+            F.struct((F.col("k") * 10 + 1).alias("id"), (F.col("gx") - 0.003).alias("lon"), F.col("gy").alias("lat")),
+            F.struct((F.col("k") * 10 + 2).alias("id"), (F.col("gx") + 0.001).alias("lon"), F.col("gy").alias("lat")),
+            F.struct((F.col("k") * 10 + 3).alias("id"), F.col("gx").alias("lon"), (F.col("gy") - 0.003).alias("lat")),
+            F.struct((F.col("k") * 10 + 4).alias("id"), F.col("gx").alias("lon"), (F.col("gy") + 0.001).alias("lat")),
+        )).alias("n")
+    ).select("n.id", "n.lon", "n.lat", F.lit(None).cast("map<string,string>").alias("tags"))
+    k10 = F.col("k") * 10
+    ways = base.select(
+        F.explode(F.array(
+            F.struct((F.col("k") * 100 + 1).alias("id"),
+                     F.array(k10 + 1, k10 + 2).alias("refs"),
+                     F.create_map(F.lit("highway"), F.lit("residential")).alias("tags")),
+            F.struct((F.col("k") * 100 + 2).alias("id"),
+                     F.array(k10 + 3, k10 + 4).alias("refs"),
+                     F.create_map(F.lit("highway"), F.lit("residential")).alias("tags")),
+        )).alias("w")
+    ).select("w.id", "w.refs", "w.tags")
+    new_nodes, updated_ways, _tagged, _stats = _intersect.create_intersections(
+        ways, nodes, z=13
+    )
+    nd = new_nodes.select(
+        F.lit("node").alias("kind"), F.col("id"),
+        F.col("lon").alias("a"), F.col("lat").alias("b"),
+    )
+    refs = updated_ways.select(
+        F.lit("ref").alias("kind"), F.col("id"),
+        F.posexplode("refs").alias("seq", "ref"),
+    ).select("kind", "id", F.col("seq").cast("double").alias("a"),
+             F.col("ref").cast("double").alias("b"))
+    return nd.unionByName(refs)
+
+
 # --- GeoJSON export (entity -> feature, entity-to-feature.ts) ---------------
 
 _GJ_A, _GJ_B = 0.004, 0.002
