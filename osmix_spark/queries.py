@@ -1309,6 +1309,80 @@ def osm_extract_complete_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "osm_extract_smart",
+    _EXTRACT_ORACLE_BASE + """
+    , touched AS (SELECT DISTINCT way_id FROM refs JOIN inside ON refs.ref = inside.id)
+    , ranked_ways AS (
+      SELECT l_orderkey AS id,
+             row_number() OVER (ORDER BY l_orderkey) AS rn
+      FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+    )
+    , rel AS (
+      SELECT n_nationkey AS relation_id,
+             a.id AS way_a, b.id AS way_b
+      FROM nation
+      JOIN ranked_ways a ON a.rn = 2 * n_nationkey + 1
+      JOIN ranked_ways b ON b.rn = 2 * n_nationkey + 2
+    )
+    , kept_rel AS (
+      SELECT relation_id, way_a, way_b FROM rel
+      WHERE way_a IN (SELECT way_id FROM touched)
+         OR way_b IN (SELECT way_id FROM touched)
+    )
+    , out_ways AS (
+      SELECT way_id AS id FROM touched
+      UNION SELECT way_a FROM kept_rel
+      UNION SELECT way_b FROM kept_rel
+    )
+    , kept_nodes AS (
+      SELECT DISTINCT r.ref AS id FROM refs r JOIN out_ways w ON r.way_id = w.id
+    )
+    SELECT 'way' AS kind, id FROM out_ways
+    UNION ALL
+    SELECT 'node', id FROM kept_nodes
+    """,
+)
+def osm_extract_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 smart strategy: complete_ways plus reference-completion of
+    multipolygon relations touching the extract — a relation with one kept
+    member way pulls its other member ways (and their nodes) in. Relations
+    pair consecutive ways by rank so the oracle can rebuild membership."""
+    from .operators import extract as _extract
+    from pyspark.sql.window import Window
+
+    nodes = _grid_nodes(spark, sf_dir)
+    ways = _li_ways(spark, sf_dir)
+    ranked = ways.select("id").distinct().withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("relation_id")
+    )
+    rel_a = nation.join(ranked, ranked.rn == nation.relation_id * 2 + 1).select(
+        "relation_id", F.col("id").alias("member_ref")
+    )
+    rel_b = nation.join(ranked, ranked.rn == nation.relation_id * 2 + 2).select(
+        "relation_id", F.col("id").alias("member_ref")
+    )
+    members = rel_a.unionByName(rel_b).select(
+        "relation_id", F.lit("way").alias("member_type"), "member_ref",
+        F.lit("outer").alias("role"),
+    )
+    relations = nation.select(
+        F.col("relation_id").alias("id"),
+        F.create_map(F.lit("type"), F.lit("multipolygon")).alias("tags"),
+    )
+    n, w, _r = _extract.extract(
+        nodes, ways, *_EXTRACT_BBOX, strategy="smart",
+        relations=relations, relation_members=members,
+    )
+    return (
+        w.select(F.lit("way").alias("kind"), "id")
+        .unionByName(n.select(F.lit("node").alias("kind"), "id"))
+    )
+
+
+@_q(
     "osm_relation_resolution",
     """
     WITH members AS (
