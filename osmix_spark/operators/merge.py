@@ -27,7 +27,7 @@ the reference throws on cycles, we cap iterations and assert convergence).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

@@ -12,8 +12,6 @@ lifting (way->coords resolution) stays in DataFrame joins.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame

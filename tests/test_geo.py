@@ -236,3 +236,29 @@ def test_split_antimeridian_and_overlap(spark):
     out = spatial.bbox_overlap_join(spatial.split_antimeridian(a), b, z=12)
     got = {(r["a_id"], r["b_id"]) for r in out.collect()}
     assert got == {(1, 10), (1, 11)}
+
+
+def test_cover_key_budget(spark):
+    """Scale guard: the adaptive cover emits <= 4 keys and the ancestor
+    expansion <= 4 + 4z keys per row — a regression here multiplies every
+    overlap join's shuffle volume."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators import spatial
+
+    boxes = spark.createDataFrame(
+        [(1, -0.01, -0.01, 0.01, 0.01), (2, -170.0, -80.0, 170.0, 80.0),
+         (3, 10.0, 10.0, 10.5, 45.0), (4, -120.0, 30.0, -20.0, 30.5)],
+        "id long, minx double, miny double, maxx double, maxy double",
+    )
+    z = 12
+    cov = spatial.adaptive_cover_cells(
+        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), z
+    )
+    out = boxes.select(
+        F.size(cov).alias("n_cov"),
+        F.size(spatial.cover_with_ancestors(cov)).alias("n_anc"),
+    ).collect()
+    for r in out:
+        assert r["n_cov"] <= 4
+        assert r["n_anc"] <= 4 + 4 * z
