@@ -71,9 +71,11 @@ def main() -> None:
     spark = get_spark("osmix-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as entrymod
+    import __spark_entry__ as entrymod  # noqa: F401 — driver-contract import check
 
-    qs = entrymod.queries()
+    from osmix_spark import queries as _queries
+
+    qs = _queries.all_queries()
     headline = [
         "q1_pricing_summary",
         "q3_order_revenue",

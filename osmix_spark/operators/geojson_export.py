@@ -53,7 +53,16 @@ def _props_json(id_col: Column, etype: str, tags: Column) -> Column:
     OVERRIDES the entity-type value, and `id`/`type` tag entries don't
     repeat in the body. Tag entries serialize via to_json (JVM-side
     escaping), keys sorted for determinism."""
-    type_val = F.coalesce(F.element_at(tags, F.lit("type")), F.lit(etype))
+    # escape the type-tag value like the id-tag override below (the
+    # reference JSON.stringify's it): a quote/backslash in a `type` tag must
+    # not produce invalid JSON
+    type_tag = F.element_at(tags, F.lit("type"))
+    type_tag_json = F.to_json(F.array(type_tag))
+    type_val = F.when(
+        type_tag.isNotNull(),
+        # strip the surrounding [" and "] — caller wraps in quotes
+        type_tag_json.substr(F.lit(3), F.length(type_tag_json) - 4),
+    ).otherwise(F.lit(etype))
     filtered = F.map_filter(tags, lambda k, _v: (k != "id") & (k != "type"))
     sorted_tags = F.map_from_entries(F.array_sort(F.map_entries(filtered)))
     tj = F.to_json(sorted_tags)

@@ -322,19 +322,27 @@ def adaptive_cover_cells(west, south, east, north, z: int) -> Column:
 def cover_with_ancestors(cover: Column) -> Column:
     """cover (array of packed cells, all at one level) -> cover plus every
     ancestor cell of each cover cell up to level 0, distinct. <= 4 + 4*z
-    keys; sibling cells share most ancestors so typically ~cover + z."""
+    keys; sibling cells share most ancestors so typically ~cover + z.
+
+    Level-0 cover cells have no ancestors: the sequence is guarded so a
+    world-spanning box doesn't emit a junk descending [1, 0] range (a
+    negative -1 level key + duplicate self key)."""
     mask = (1 << 29) - 1
+    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
     anc = F.flatten(
         F.transform(
             cover,
-            lambda c: F.transform(
-                F.sequence(F.lit(1), F.shiftright(c, 58).cast("int")),
-                lambda i: _pack_cell(
-                    F.shiftright(c, 58) - i,
-                    _shr(F.shiftright(c, 29).bitwiseAND(F.lit(mask)), i),
-                    _shr(c.bitwiseAND(F.lit(mask)), i),
+            lambda c: F.when(
+                F.shiftright(c, 58) >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.shiftright(c, 58).cast("int")),
+                    lambda i: _pack_cell(
+                        F.shiftright(c, 58) - i,
+                        _shr(F.shiftright(c, 29).bitwiseAND(F.lit(mask)), i),
+                        _shr(c.bitwiseAND(F.lit(mask)), i),
+                    ),
                 ),
-            ),
+            ).otherwise(empty),
         )
     )
     return F.array_distinct(F.concat(cover, anc))
@@ -402,16 +410,13 @@ def overlap_candidate_pairs(ax: DataFrame, bx: DataFrame, z: int,
     return j1.unionByName(j2).drop("__cell")
 
 
-def bbox_overlap_join(a: DataFrame, b: DataFrame, z: int = 12,
-                      a_cols=("minx", "miny", "maxx", "maxy"),
-                      b_cols=("minx", "miny", "maxx", "maxy")) -> DataFrame:
-    """All (a, b) pairs whose bboxes overlap (J5). Coarse: adaptive split
-    covers + ancestor equi-joins (exact for ANY box size); fine: exact
-    overlap + inverted-bbox guard; pair-dedupe via distinct."""
+def _overlap_filtered(ax: DataFrame, bx: DataFrame, z: int,
+                      a_cols, b_cols) -> DataFrame:
+    """Candidate pairs with the exact overlap predicate applied (pre-aliased
+    a_/b_ frames). May contain duplicate pairs (a pair can meet at up to 4
+    shared cover cells) — callers dedupe on their id projection."""
     aw, as_, ae, an = a_cols
     bw, bs, be, bn = b_cols
-    ax = a.select(*[F.col(c).alias(f"a_{c}") for c in a.columns])
-    bx = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
     cands = overlap_candidate_pairs(
         ax, bx, z,
         (f"a_{aw}", f"a_{as_}", f"a_{ae}", f"a_{an}"),
@@ -421,7 +426,52 @@ def bbox_overlap_join(a: DataFrame, b: DataFrame, z: int = 12,
         F.col(f"a_{aw}"), F.col(f"a_{as_}"), F.col(f"a_{ae}"), F.col(f"a_{an}"),
         F.col(f"b_{bw}"), F.col(f"b_{bs}"), F.col(f"b_{be}"), F.col(f"b_{bn}"),
     )
-    return cands.filter(overlap).distinct()
+    return cands.filter(overlap)
+
+
+def bbox_overlap_pairs(a: DataFrame, b: DataFrame, a_id: str, b_id: str,
+                       z: int = 12,
+                       a_cols=("minx", "miny", "maxx", "maxy"),
+                       b_cols=("minx", "miny", "maxx", "maxy")) -> DataFrame:
+    """Overlapping-id pairs only: DataFrame(a_<a_id>, b_<b_id>), deduped.
+
+    The scale path for J5: the coarse cover join runs over NARROW (id + 4
+    box doubles) projections and the pair dedupe shuffles two longs per row
+    — never the payload columns (a full-width distinct makes every payload
+    byte a shuffle key). Callers rejoin payloads by id where needed."""
+    ax = a.select(F.col(a_id).alias(f"a_{a_id}"),
+                  *[F.col(c).alias(f"a_{c}") for c in a_cols])
+    bx = b.select(F.col(b_id).alias(f"b_{b_id}"),
+                  *[F.col(c).alias(f"b_{c}") for c in b_cols])
+    return (
+        _overlap_filtered(ax, bx, z, a_cols, b_cols)
+        .select(f"a_{a_id}", f"b_{b_id}")
+        .distinct()
+    )
+
+
+def bbox_overlap_join(a: DataFrame, b: DataFrame, z: int = 12,
+                      a_cols=("minx", "miny", "maxx", "maxy"),
+                      b_cols=("minx", "miny", "maxx", "maxy"),
+                      a_id: str | None = None, b_id: str | None = None) -> DataFrame:
+    """All (a, b) pairs whose bboxes overlap (J5). Coarse: adaptive split
+    covers + ancestor equi-joins (exact for ANY box size); fine: exact
+    overlap + inverted-bbox guard.
+
+    With a_id/b_id given, pair-dedupe runs on the two id columns and the
+    payloads are equi-joined back (the 100 TB shape). Without ids the
+    legacy full-width distinct is used — fine for narrow frames only."""
+    if a_id is not None and b_id is not None:
+        pairs = bbox_overlap_pairs(a, b, a_id, b_id, z, a_cols, b_cols)
+        a_full = a.select(*[F.col(c).alias(f"a_{c}") for c in a.columns])
+        b_full = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+        return (
+            pairs.join(a_full, f"a_{a_id}").join(b_full, f"b_{b_id}")
+            .select(*[f"a_{c}" for c in a.columns], *[f"b_{c}" for c in b.columns])
+        )
+    ax = a.select(*[F.col(c).alias(f"a_{c}") for c in a.columns])
+    bx = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+    return _overlap_filtered(ax, bx, z, a_cols, b_cols).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -181,7 +181,8 @@ def encode_way_mvt(ways_px: DataFrame, layer: str = "ways",
         )
 
     blocks = ways_px.withColumn(
-        "__blk", F.floor(F.col("way_id") / F.lit(id_block)).cast("long")
+        # integer div: exact for ids above 2^53 (double floor-division isn't)
+        "__blk", F.expr(f"way_id div {id_block}")
     )
     stage1 = blocks.groupBy("z", "tx", "ty", "__blk").applyInPandas(
         encode_block, schema="z int, tx long, ty long, blk long, n int, frames binary"
@@ -491,10 +492,15 @@ def _polygon_mask(grp, tile_size: int, scale: float):
     scanlines, Math.round'ed crossings, boundary rows (y=0, y=size-1) and
     boundary columns (x=0, x=size-1) skipped. Rings are projected, clipped
     (Sutherland-Hodgman), closed, and clamp-rounded first
-    (drawPolygon, raster-tile.ts:279-325)."""
+    (drawPolygon, raster-tile.ts:279-325).
+
+    Returns per-pixel DRAW COUNTS (int32), not a boolean mask: when two
+    adjacent even-odd crossing pairs share a rounded x (tangent vertex),
+    the reference composites that pixel once per span — a count array
+    preserves the double-composite a bool mask would collapse."""
     import numpy as np
 
-    mask = np.zeros((tile_size, tile_size), dtype=bool)
+    mask = np.zeros((tile_size, tile_size), dtype=np.int32)
     rings = []
     for row in grp.itertuples(index=False):
         pts = [(float(x) * scale, float(y) * scale) for x, y in zip(row.pxs, row.pys)]
@@ -534,7 +540,7 @@ def _polygon_mask(grp, tile_size: int, scale: float):
             b = max(0, min(tile_size - 1, int(xs_cross[j + 1])))
             lo, hi = max(a, 1), min(b, tile_size - 2)  # boundary-column skip
             if hi >= lo:
-                mask[yi, lo : hi + 1] = True
+                mask[yi, lo : hi + 1] += 1
     return mask
 
 
@@ -656,7 +662,7 @@ def render_polygon_raster(rings_px: DataFrame, tile_size: int = 256,
         for _fid, grp in pdf.sort_values(["feature_id", "ring_index"]).groupby(
             "feature_id", sort=True
         ):
-            img[_polygon_mask(grp, tile_size, scale)] = rgba
+            img[_polygon_mask(grp, tile_size, scale) > 0] = rgba
         png = _write_png_rgba(img)
         h = int.from_bytes(hashlib.md5(png).digest()[:8], "big") >> 1
         return pd.DataFrame(

@@ -29,16 +29,44 @@ Query = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, Query] = {}
 ORACLES: dict[str, str] = {}
+# Near-duplicate queries whose operator code paths are fully exercised by a
+# first-tier query (e.g. text_simhash_pairs computes text_simhash's
+# signatures via the same operators/dedupe function). Kept oracle-backed for
+# pytest + bench, but OUT of the driver's 50-query correctness window so
+# every distinct operator family gets a driver-verified row.
+EXTRA_QUERIES: dict[str, Query] = {}
+EXTRA_ORACLES: dict[str, str] = {}
+
+# second-tier membership (which first-tier query subsumes each code path):
+_EXTRA_NAMES = {
+    "q3_order_revenue",      # broadcast join+agg: q1_pricing_summary, q_window_top_orders
+    "q_events_daily",        # events rollup: events_sessionize
+    "geo_cell_assign",       # tile math: geo_tile_assignment + the flagship
+    "text_minhash",          # minhash_signatures: text_lsh_pairs, text_jaccard_verify
+    "text_simhash",          # dedupe.simhash: text_simhash_pairs
+    "multimodal_stats",      # media schema/pruning: multimodal_decode/resize
+    "shortbread_classify",   # shortbread.classify CASE: shortbread_layers/tile_stats
+}
 
 
-def _q(name: str, oracle: str | None = None):
+def _q(name: str, oracle: str | None = None, extra: bool = False):
+    extra = extra or name in _EXTRA_NAMES
+
     def deco(fn: Query):
-        QUERIES[name] = fn
+        (EXTRA_QUERIES if extra else QUERIES)[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            (EXTRA_ORACLES if extra else ORACLES)[name] = oracle
         return fn
 
     return deco
+
+
+def all_queries() -> dict[str, Query]:
+    return {**QUERIES, **EXTRA_QUERIES}
+
+
+def all_oracles() -> dict[str, str]:
+    return {**ORACLES, **EXTRA_ORACLES}
 
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -428,8 +456,10 @@ def geo_bbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lon") - 0.005).alias("minx"), (F.col("lat") - 0.005).alias("miny"),
         (F.col("lon") + 0.005).alias("maxx"), (F.col("lat") + 0.005).alias("maxy"),
     )
-    joined = spatial.bbox_overlap_join(boxes, dboxes, z=11)
-    return joined.groupBy(F.col("a_n_nationkey").alias("n_nationkey")).agg(
+    # id-pair dedupe path: the coarse cover join and the distinct run over
+    # (id, box) projections only — payload bytes never become shuffle keys
+    pairs = spatial.bbox_overlap_pairs(boxes, dboxes, "n_nationkey", "doc_id", z=11)
+    return pairs.groupBy(F.col("a_n_nationkey").alias("n_nationkey")).agg(
         F.count(F.lit(1)).alias("n_overlaps")
     )
 

@@ -225,7 +225,9 @@ def write_pbf(path: str, nodes: DataFrame, ways: DataFrame | None = None,
                 continue
             n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
             blocks = df.withColumn(
-                "__blk", F.floor(F.col("id") / F.lit(MAX_ENTITIES_PER_BLOCK)).cast("long")
+                # exact integer division (floor semantics for non-negative
+                # OSM ids): double division would misassign ids above 2^53
+                "__blk", F.expr(f"id div {MAX_ENTITIES_PER_BLOCK}")
             )
             enc = blocks.groupBy("__blk").applyInPandas(
                 encode_block(kind), schema="blk long, blob binary"

@@ -49,9 +49,9 @@ def test_codegen_active_on_agg(spark, sf_dir):
 
 
 def test_geo_kernel_stays_jvm_side(spark, sf_dir):
-    import __spark_entry__ as em
+    from osmix_spark import queries as em_queries
 
-    df = em.queries()["geo_cell_assign"](spark, sf_dir)
+    df = em_queries.all_queries()["geo_cell_assign"](spark, sf_dir)
     plan = _final_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan.lower()

@@ -53,8 +53,13 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # check BOTH tiers: the driver-facing 50 (entrymod.queries()) plus the
+    # second-tier near-duplicates the driver window excludes
+    assert len(entrymod.queries()) <= 50, "driver correctness window is 50 queries"
+    from osmix_spark import queries as _queries
+
+    qs = _queries.all_queries()
+    oracles = _queries.all_oracles()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
