@@ -14,7 +14,15 @@ intersection creation. Re-expressed as DataFrame jobs:
 - way-ref rewriting + adjacent-duplicate removal (change/src/utils.ts:54-66).
 - duplicate-way dedupe (J8, changeset.ts:440-511): geometry-hash candidates
   plus the isWayEqual property-equality path; survivor = best (version,
-  tag-count) with ties to the MIN id (Math.min at changeset.ts:497).
+  tag-count) with ties to the MAX id. (The reference's Math.min at
+  changeset.ts:497 picks among one way's candidate set mid-sequence, but
+  chain flattening makes the FINAL survivor of a fully-tied group the max
+  id: iterating ways 10,20,30 yields 10->20, 20->30, flattened {10->30,
+  20->30} — pinned by relation-dedup.test.ts:85-92.)
+- relation-member rewriting after node/way dedupe
+  (applyNodeReplacementsToRelations changeset.ts:348-351,
+  applyWayReplacementsToRelations) + adjacent-duplicate member folding
+  (removeDuplicateAdjacentRelationMembers, change/src/utils.ts:62-80).
 - direct merge / last-write-wins upsert (J9, changeset.ts:732-780).
 - apply-changeset materialization (apply-changeset.ts:37-122): base minus
   deletes, overridden by modifies, plus creates.
@@ -177,6 +185,80 @@ def rewrite_way_refs(ways: DataFrame, repl: DataFrame) -> DataFrame:
     return out.select(*[c if c != "refs" else "refs" for c in ways.columns])
 
 
+def rewrite_relation_members(relations: DataFrame, node_repl: DataFrame | None = None,
+                             way_repl: DataFrame | None = None) -> DataFrame:
+    """Substitute deduped node/way ids inside relation members and fold
+    now-adjacent duplicate members.
+
+    relations: (id, members array<struct<type string, ref long, role string>>,
+    ...). The reference rewrites relation members after node dedupe
+    (applyNodeReplacementsToRelations, changeset.ts:348-351) and way dedupe
+    (applyWayReplacementsToRelations), then drops members that became
+    back-to-back duplicates — equal on ALL of (type, ref, role), duplicates
+    separated by other members are kept
+    (removeDuplicateAdjacentRelationMembers, change/src/utils.ts:62-80).
+
+    Exploded-join formulation like rewrite_way_refs: members -> rows, left
+    join the replacement maps per member type, re-assemble in seq order,
+    fold adjacent duplicates with a null-safe struct compare (a null role
+    equals a null role, as undefined === undefined in the reference).
+    """
+    exploded = relations.select(
+        "id",
+        F.posexplode("members").alias("seq", "m"),
+    ).select("id", "seq", F.col("m.type").alias("mtype"),
+             F.col("m.ref").alias("ref"), F.col("m.role").alias("role"))
+    subst = exploded
+    if node_repl is not None:
+        nrep = node_repl.select(
+            F.col("from_id").alias("__nfrom"), F.col("to_id").alias("__nto")
+        )
+        subst = subst.join(
+            nrep,
+            (subst.mtype == "node") & (subst.ref == F.col("__nfrom")),
+            "left",
+        ).select("id", "seq", "mtype", F.coalesce("__nto", "ref").alias("ref"), "role")
+    if way_repl is not None:
+        wrep = way_repl.select(
+            F.col("from_id").alias("__wfrom"), F.col("to_id").alias("__wto")
+        )
+        subst = subst.join(
+            wrep,
+            (subst.mtype == "way") & (subst.ref == F.col("__wfrom")),
+            "left",
+        ).select("id", "seq", "mtype", F.coalesce("__wto", "ref").alias("ref"), "role")
+    rebuilt = (
+        subst.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("seq", "mtype", "ref", "role"))).alias("s"))
+        .select(
+            "id",
+            F.transform(
+                F.col("s"),
+                lambda e: F.struct(
+                    e.mtype.alias("type"), e.ref.alias("ref"), e.role.alias("role")
+                ),
+            ).alias("members_subst"),
+        )
+    )
+    empty = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<type: STRING, ref: BIGINT, role: STRING>>)"
+    )
+    dedup = F.aggregate(
+        F.col("members_subst"),
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & F.element_at(acc, -1).eqNullSafe(x), acc
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    out = relations.drop("members").join(
+        rebuilt.select("id", dedup.alias("__members")), "id", "left"
+    )
+    # member-less relations (empty array) don't survive the explode — restore
+    return out.withColumn("members", F.coalesce("__members", empty)).select(
+        *relations.columns
+    )
+
+
 # ---------------------------------------------------------------------------
 # J8 — duplicate-way dedupe
 # ---------------------------------------------------------------------------
@@ -193,9 +275,11 @@ def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
       catches ways whose refs point at nodes missing from the node layer).
 
     Survivor per duplicate group: best (version desc, tag-count desc), ties
-    resolved to the MIN id — the reference reduces multi-candidate groups
-    with Math.min(...survivorIds) (changeset.ts:497). Nodes differ: their
-    pairwise `>=` branch routes equal ties to Math.max (changeset.ts:276-287).
+    resolved to the MAX id. The reference's Math.min(...survivorIds)
+    (changeset.ts:497) applies to ONE way's candidate set mid-iteration;
+    after its chain flattening, a fully-tied group {10,20,30} ends at
+    {10->30, 20->30} (relation-dedup.test.ts:85-92) — max id, same as the
+    node rule's `>=` tie (changeset.ts:276-287).
 
     ways: (id, refs, tags); nodes: (id, lon, lat, ...).
     """
@@ -230,7 +314,7 @@ def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
 
     def group_map(key: str) -> DataFrame:
         w = Window.partitionBy(key).orderBy(
-            F.desc("version"), F.desc("ntags"), F.asc("id")
+            F.desc("version"), F.desc("ntags"), F.desc("id")
         )
         groups = ranked.filter(F.col(key).isNotNull()).withColumn(
             "__rn", F.row_number().over(w)
@@ -243,9 +327,9 @@ def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         return losers.join(winners, key).select("from_id", "to_id", "w_version", "w_ntags")
 
     both = group_map("geom_hash").unionByName(group_map("prop_hash"))
-    # a way claimed by both paths keeps the better winner (then min id)
+    # a way claimed by both paths keeps the better winner (then max id)
     w = Window.partitionBy("from_id").orderBy(
-        F.desc("w_version"), F.desc("w_ntags"), F.asc("to_id")
+        F.desc("w_version"), F.desc("w_ntags"), F.desc("to_id")
     )
     repl = (
         both.withColumn("__rn", F.row_number().over(w))

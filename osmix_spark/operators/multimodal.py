@@ -1,9 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The image path is REAL: a pure stdlib-zlib + NumPy PNG decoder (all five
-scanline filters: None/Sub/Up/Average/Paeth per the PNG spec) feeds the
-feature extractor — no image libraries needed. Non-PNG codecs (JPEG,
-audio, video) remain clearly-marked stubs: `decode_media` raises
+The image path is REAL for both major web formats, no image libraries
+needed:
+
+- PNG: pure stdlib-zlib + NumPy decoder (all five scanline filters:
+  None/Sub/Up/Average/Paeth per the PNG spec);
+- JPEG: pure-NumPy baseline codec (functions/jpeg — ITU T.81 SOF0, Huffman
+  + DCT, 4:4:4/4:2:0, restart markers), decoder AND encoder (fixtures).
+
+Audio/video remain clearly-marked stubs: `decode_media` raises
 NotImplementedError for them unless `fake=True`, in which case a
 deterministic stand-in (bytes -> shape + checksum "features") exercises
 the same schema, partitioning, and batch shape.
@@ -143,12 +148,17 @@ def decode_png(data: bytes):
     return out.reshape(h, w, channels)
 
 
+_JPEG_MAGIC = b"\xff\xd8"
+
+
 def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> DataFrame:
     """Decode + feature-extract in Arrow batches.
 
-    PNG payloads decode FOR REAL (decode_png): width/height from IHDR,
-    features = per-channel pixel means (float32). Other codecs raise
-    NotImplementedError at task time unless fake=True, which runs the
+    PNG payloads decode FOR REAL (decode_png) and so do baseline JPEGs
+    (functions/jpeg.decode_baseline): width/height from the header,
+    features = per-channel pixel means (float32; JPEG RGB gets an implicit
+    opaque alpha mean of 255 so both formats emit 4 features). Other codecs
+    raise NotImplementedError at task time unless fake=True, which runs the
     deterministic stand-in (width/height from payload length, rolling
     checksum features) — same schema, partitioning, and batch shape.
     """
@@ -158,14 +168,22 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
 
         import numpy as np
 
+        from ..functions import jpeg as _jpeg
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 buf = bytes(r.payload)
                 h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
+                img = None
                 if buf[:8] == _PNG_MAGIC:
                     img = decode_png(buf)
+                elif buf[:2] == _JPEG_MAGIC:
+                    img = _jpeg.decode_baseline(buf)
+                if img is not None:
                     feats = img.reshape(-1, img.shape[2]).mean(axis=0)
+                    if img.shape[2] == 3:  # implicit opaque alpha for JPEG/RGB
+                        feats = np.concatenate([feats, [255.0]])
                     rows.append(
                         {
                             "media_id": int(r.media_id),
@@ -179,9 +197,10 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-PNG media codecs not available in this "
-                        "environment; pass fake=True for the deterministic "
-                        "stand-in"
+                        "audio/video codecs not available in this "
+                        "environment (images decode for real: PNG + "
+                        "baseline JPEG); pass fake=True for the "
+                        "deterministic stand-in"
                     )
                 arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
                 pad = (-len(arr)) % feature_dim
@@ -231,6 +250,45 @@ def synth_png_media(spark=None, n: int | None = None, parts: int = 4,
                 rows.append(
                     {"media_id": mid, "kind": "image", "mime": "image/png",
                      "payload": _write_png_rgba(img), "meta": None}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_jpeg_media(spark=None, n: int | None = None, parts: int = 4,
+                     size: int = 16, ids: DataFrame | None = None) -> DataFrame:
+    """REAL deterministic baseline JPEGs: per id, a size x size gray-in-RGB
+    image whose 8x8 blocks are each constant v = (bx*7 + by*13 + id) % 256.
+
+    Block-constant images have only DC coefficients, and at quality 75 the
+    Annex-K luma DC quantizer is exactly the constant-block DCT gain (8),
+    so decode(encode(img)) == img bit-exactly (see functions/jpeg) — pixel
+    statistics are closed-form for SQL oracles, while the bytes exercise
+    the full Huffman+DCT path."""
+    from ..functions import jpeg as _jpeg
+
+    if ids is None:
+        ids = spark.range(n).repartition(parts).select(F.col("id").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        nb = size // 8
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                img = np.zeros((size, size), dtype=np.uint8)
+                for by in range(nb):
+                    for bx in range(nb):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            bx * 7 + by * 13 + mid
+                        ) % 256
+                rgb = np.stack([img, img, img], axis=-1)
+                rows.append(
+                    {"media_id": mid, "kind": "image", "mime": "image/jpeg",
+                     "payload": _jpeg.encode_baseline(rgb, quality=75), "meta": None}
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

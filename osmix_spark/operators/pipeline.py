@@ -26,22 +26,37 @@ from ..plans import lineage
 from . import intersect, merge
 
 
-def _dedupe_round(nodes: DataFrame, ways: DataFrame):
-    """Way dedupe then node dedupe, refs rewritten (merge.ts stage order)."""
+def _dedupe_round(nodes: DataFrame, ways: DataFrame,
+                  relations: DataFrame | None = None):
+    """Way dedupe then node dedupe, refs rewritten (merge.ts stage order).
+    With relations present, both replacement maps are also applied to
+    relation members (changeset.ts:348-351 + applyWayReplacementsToRelations)
+    with adjacent-duplicate member folding (utils.ts:62-80)."""
     way_repl = merge.dedupe_ways(ways, nodes)
     ways = ways.join(way_repl.select(F.col("from_id").alias("id")), "id", "left_anti")
     node_repl = merge.dedupe_nodes(nodes)
     ways = merge.rewrite_way_refs(ways, node_repl)
     nodes = nodes.join(node_repl.select(F.col("from_id").alias("id")), "id", "left_anti")
-    return nodes, ways
+    if relations is not None:
+        relations = merge.rewrite_relation_members(relations, node_repl, way_repl)
+    return nodes, ways, relations
 
 
 def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
                    patch_nodes: DataFrame, patch_ways: DataFrame,
                    create_intersections: bool = True,
-                   checkpoint_dir: str | None = None):
-    """-> (nodes, ways, stats). With checkpoint_dir set, each stage is a
-    lineage-verified checkpoint (resume_or_run semantics)."""
+                   checkpoint_dir: str | None = None,
+                   base_relations: DataFrame | None = None,
+                   patch_relations: DataFrame | None = None):
+    """-> (nodes, ways, stats), or (nodes, ways, relations, stats) when
+    either relations frame is given. With checkpoint_dir set, each stage is
+    a lineage-verified checkpoint (resume_or_run semantics).
+
+    Relations flow through every stage like the reference's merge():
+    per-dataset dedupe rewrites their members via both replacement maps,
+    the direct merge upserts patch relations over base by id
+    (changeset.ts:722-731 processes ways, nodes, then relations), and the
+    final cross-dataset node dedupe rewrites members once more."""
     spark = base_nodes.sparkSession
     stats: dict = {}
 
@@ -53,16 +68,25 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
             build=lambda: df,
         )
 
+    with_relations = base_relations is not None or patch_relations is not None
+
     # stages 1-4: per-dataset dedupe
-    b_nodes, b_ways = _dedupe_round(base_nodes, base_ways)
-    p_nodes, p_ways = _dedupe_round(patch_nodes, patch_ways)
+    b_nodes, b_ways, b_rels = _dedupe_round(base_nodes, base_ways, base_relations)
+    p_nodes, p_ways, p_rels = _dedupe_round(patch_nodes, patch_ways, patch_relations)
     b_nodes = ckpt(b_nodes, "base_nodes_deduped", "id")
     p_nodes = ckpt(p_nodes, "patch_nodes_deduped", "id")
 
     # stage 5: direct merge — ways first improves node-dedupe accuracy
-    # (changeset.ts:722-731)
+    # (changeset.ts:722-731: ways, nodes, then relations)
     ways = merge.direct_merge(b_ways, p_ways)
     nodes = merge.direct_merge(b_nodes, p_nodes)
+    relations = None
+    if with_relations:
+        if b_rels is not None and p_rels is not None:
+            relations = merge.direct_merge(b_rels, p_rels)
+        else:
+            relations = b_rels if b_rels is not None else p_rels
+        stats["merged_relations"] = relations.count()
     stats["merged_nodes"] = nodes.count()
     stats["merged_ways"] = ways.count()
 
@@ -70,6 +94,8 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
     node_repl = merge.dedupe_nodes(nodes)
     stats["deduplicated_nodes"] = node_repl.count()
     ways = merge.rewrite_way_refs(ways, node_repl)
+    if relations is not None:
+        relations = merge.rewrite_relation_members(relations, node_repl)
     nodes = nodes.join(node_repl.select(F.col("from_id").alias("id")), "id", "left_anti")
     nodes = ckpt(nodes, "merged_nodes", "id")
 
@@ -100,4 +126,6 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
         )
     stats["final_nodes"] = nodes.count()
     stats["final_ways"] = ways.count()
+    if with_relations:
+        return nodes, ways, relations, stats
     return nodes, ways, stats

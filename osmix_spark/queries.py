@@ -533,8 +533,8 @@ def osm_dedupe_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- injective in ref, so geometry groups == (src % 150) groups
     ranked AS (
       SELECT id, version,
-             row_number() OVER (PARTITION BY src % 150 ORDER BY version DESC, id ASC) AS rn,
-             first_value(id) OVER (PARTITION BY src % 150 ORDER BY version DESC, id ASC) AS survivor
+             row_number() OVER (PARTITION BY src % 150 ORDER BY version DESC, id DESC) AS rn,
+             first_value(id) OVER (PARTITION BY src % 150 ORDER BY version DESC, id DESC) AS survivor
       FROM v
     )
     SELECT id AS from_id, survivor AS to_id FROM ranked WHERE rn > 1
@@ -543,9 +543,10 @@ def osm_dedupe_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def osm_dedupe_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 at scale (changeset.ts:440-511): duplicate-way dedupe over a
     synthesized way layer with planted 3-way duplicate groups — half the
-    trios are full (version, tag-count) ties exercising the reference's
-    Math.min survivor (changeset.ts:497), the other half have graded
-    versions. Output is the flattened replacement map."""
+    trios are full (version, tag-count) ties whose flattened survivor is
+    the MAX id (the reference's sequential pass chains 10->20->30; pinned
+    by relation-dedup.test.ts:85-92), the other half have graded versions.
+    Output is the flattened replacement map."""
     docs = _t(spark, sf_dir, "documents")
     m = F.col("doc_id") % 4
     src = F.when(m < 3, F.col("doc_id") - m).otherwise(F.col("doc_id"))
@@ -566,6 +567,89 @@ def osm_dedupe_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = _grid_nodes(spark, sf_dir)
     repl = merge.dedupe_ways(ways, nodes)
     return repl.select("from_id", "to_id")
+
+
+_MERGE_REL_SQL = f"""
+    WITH nodes AS (
+      SELECT doc_id AS id, {_NODE_LON_SQL} AS lon, {_NODE_LAT_SQL} AS lat,
+             {_NODE_VER_SQL} AS version
+      FROM documents
+    ),
+    ranked AS (
+      SELECT id,
+             row_number() OVER (PARTITION BY lon, lat ORDER BY version DESC, id DESC) AS rn,
+             first_value(id) OVER (PARTITION BY lon, lat ORDER BY version DESC, id DESC) AS survivor
+      FROM nodes
+    ),
+    repl AS (SELECT id AS from_id, survivor AS to_id FROM ranked WHERE rn > 1),
+    mem AS (
+      SELECT doc_id AS relation_id, 0 AS seq0, 'node' AS member_type,
+             (doc_id % 200)::BIGINT AS ref, 'outer' AS role FROM documents
+      UNION ALL
+      SELECT doc_id, 1, 'node',
+             (CASE WHEN (doc_id % 200) % 50 = 0 THEN doc_id % 200 + 1
+                   ELSE doc_id % 200 END)::BIGINT, 'outer' FROM documents
+      UNION ALL
+      SELECT doc_id, 2, 'node', (doc_id % 200)::BIGINT, 'inner' FROM documents
+    ),
+    sub AS (
+      SELECT m.relation_id, m.seq0, m.member_type,
+             coalesce(r.to_id, m.ref) AS ref, m.role
+      FROM mem m LEFT JOIN repl r ON r.from_id = m.ref
+    ),
+    keep AS (
+      SELECT relation_id, seq0, member_type, ref, role,
+             CASE WHEN lag(member_type) OVER w IS NOT DISTINCT FROM member_type
+                   AND lag(ref) OVER w IS NOT DISTINCT FROM ref
+                   AND lag(role) OVER w IS NOT DISTINCT FROM role
+                  THEN 0 ELSE 1 END AS k
+      FROM sub WINDOW w AS (PARTITION BY relation_id ORDER BY seq0)
+    )
+    SELECT relation_id,
+           (row_number() OVER (PARTITION BY relation_id ORDER BY seq0) - 1)::INT AS seq,
+           member_type, ref AS member_ref, role
+    FROM keep WHERE k = 1
+"""
+
+
+@_q("osm_merge_relations", _MERGE_REL_SQL)
+def osm_merge_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-member handling in merge (applyNodeReplacementsToRelations,
+    changeset.ts:348-351 + removeDuplicateAdjacentRelationMembers,
+    change/src/utils.ts:62-80): the coincident-node replacement map is
+    applied to synthesized relation members, and members that became
+    back-to-back duplicates (type+ref+role all equal) fold to one — the
+    same-ref different-role member survives. Oracle recomputes the map and
+    the fold with window functions."""
+    nodes = _synth_nodes(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 200).cast("long")
+    a2 = F.when(a % 50 == 0, a + 1).otherwise(a)
+
+    def m(mtype, ref, role):
+        return F.struct(
+            F.lit(mtype).alias("type"), ref.alias("ref"), F.lit(role).alias("role")
+        )
+
+    relations = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array(
+            m("node", a, "outer"), m("node", a2, "outer"), m("node", a, "inner")
+        ).alias("members"),
+        F.lit(None).cast("map<string,string>").alias("tags"),
+    )
+    repl = merge.dedupe_nodes(nodes)
+    out = merge.rewrite_relation_members(relations, node_repl=repl)
+    return (
+        out.select("id", F.posexplode("members").alias("seq", "m"))
+        .select(
+            F.col("id").alias("relation_id"),
+            F.col("seq").cast("int").alias("seq"),
+            F.col("m.type").alias("member_type"),
+            F.col("m.ref").alias("member_ref"),
+            F.col("m.role").alias("role"),
+        )
+    )
 
 
 @_q(
@@ -722,6 +806,138 @@ def osm_changeset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = merge.generate_direct_changes(base, patch, key="id")
     return out.select("id", "change_type", "price")
+
+
+_CH_NODE_EXPR = (
+    "id::VARCHAR || '|' || lonu::VARCHAR || '|' || latu::VARCHAR || '|' || tag"
+)
+_CH_WAY_EXPR = "id::VARCHAR || '|' || refs_csv || '|' || tag"
+_CH_MOD = str(1 << 63)
+
+_CONTENT_HASH_SQL = f"""
+    WITH n AS (
+      SELECT p_partkey AS id,
+             round((-120.0 + ((p_partkey * 37) % 500)::DOUBLE * 0.0005) * 1e7)::BIGINT AS lonu,
+             round((46.0 + ((p_partkey * 91) % 500)::DOUBLE * 0.0005) * 1e7)::BIGINT AS latu,
+             CASE WHEN p_partkey % 3 = 0 THEN 'poi' ELSE '' END AS tag
+      FROM part
+    ),
+    nh AS (
+      SELECT {portable_hash64_sql(_CH_NODE_EXPR, "chnode")} AS h,
+             (tag <> '')::INT AS tagged
+      FROM n
+    ),
+    wrefs AS (
+      SELECT doc_id AS id, jj.j AS seq,
+             ((doc_id * 49 + jj.j * 37) % 2500)::BIGINT AS ref
+      FROM documents, range(0, 4) jj(j)
+    ),
+    wmiss AS (
+      SELECT w.id, count(*) FILTER (WHERE p.p_partkey IS NULL) AS n_missing
+      FROM wrefs w LEFT JOIN part p ON p.p_partkey = w.ref
+      GROUP BY w.id
+    ),
+    w AS (
+      SELECT r.id,
+             string_agg(r.ref::VARCHAR, ',' ORDER BY r.seq) AS refs_csv,
+             CASE WHEN r.id % 5 = 0 THEN 'track' ELSE '' END AS tag
+      FROM wrefs r GROUP BY r.id
+    ),
+    wh AS (
+      SELECT {portable_hash64_sql("w." + _CH_WAY_EXPR, "chway")} AS h,
+             (tag <> '')::INT AS tagged, m.n_missing
+      FROM w JOIN wmiss m ON m.id = w.id
+    )
+    SELECT 'node' AS kind, count(*)::BIGINT AS n_rows,
+           sum(tagged)::BIGINT AS n_tagged, 0::BIGINT AS n_refs,
+           0::BIGINT AS n_missing_refs,
+           (sum(h::HUGEINT) % {_CH_MOD})::BIGINT AS content_hash
+    FROM nh
+    UNION ALL
+    SELECT 'way', count(*)::BIGINT, sum(tagged)::BIGINT,
+           (count(*) * 4)::BIGINT, sum(n_missing)::BIGINT,
+           (sum(h::HUGEINT) % {_CH_MOD})::BIGINT
+    FROM wh
+"""
+
+
+@_q("osm_content_hash", _CONTENT_HASH_SQL)
+def osm_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + A6: load-diagnostics counters (tagged counts, ref counts,
+    missing refs — load/src/pbf.ts:133-146) and the order-independent
+    dataset content hash (FNV-1a analog, shared/src/content-hasher.ts:9-54,
+    chunked way-ref hashing ways.ts:476-489). Per-row portable hashes are
+    combined with an order-insensitive SUM mod 2^63, so the value is
+    identical at any parallelism / partition order; coordinates hash as
+    exact Int32 microdegrees (nodes.ts:48-62) to stay engine-portable."""
+    # 2^63 overflows a long literal — build the modulus as a decimal
+    mod = F.lit(str(1 << 63)).cast("decimal(38,0)")
+
+    nodes = _grid_nodes(spark, sf_dir).select(
+        "id",
+        F.round(F.col("lon") * 1e7).cast("long").alias("lonu"),
+        F.round(F.col("lat") * 1e7).cast("long").alias("latu"),
+        F.when(F.col("id") % 3 == 0, F.lit("poi")).otherwise(F.lit("")).alias("tag"),
+    )
+    nh = nodes.select(
+        portable_hash64(
+            F.concat_ws(
+                "|", F.col("id").cast("string"), F.col("lonu").cast("string"),
+                F.col("latu").cast("string"), F.col("tag"),
+            ),
+            "chnode",
+        ).alias("h"),
+        (F.col("tag") != "").cast("int").alias("tagged"),
+    )
+    node_row = nh.agg(
+        F.lit("node").alias("kind"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("tagged").alias("n_tagged"),
+        F.lit(0).cast("long").alias("n_refs"),
+        F.lit(0).cast("long").alias("n_missing_refs"),
+        F.pmod(F.sum(F.col("h").cast("decimal(38,0)")), mod).cast("long").alias("content_hash"),
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ways = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: (F.col("doc_id") * 49 + j * 37) % 2500,
+        ).alias("refs"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("track")).otherwise(F.lit("")).alias("tag"),
+    )
+    part_keys = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("ref"))
+    missing = (
+        ways.select("id", F.explode("refs").alias("ref"))
+        .join(part_keys, "ref", "left_anti")
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    wh = (
+        ways.join(missing, "id", "left")
+        .select(
+            portable_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("id").cast("string"),
+                    F.array_join(F.transform("refs", lambda r: r.cast("string")), ","),
+                    F.col("tag"),
+                ),
+                "chway",
+            ).alias("h"),
+            (F.col("tag") != "").cast("int").alias("tagged"),
+            F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+        )
+    )
+    way_row = wh.agg(
+        F.lit("way").alias("kind"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("tagged").alias("n_tagged"),
+        (F.count(F.lit(1)) * 4).alias("n_refs"),
+        F.sum("n_missing").alias("n_missing_refs"),
+        F.pmod(F.sum(F.col("h").cast("decimal(38,0)")), mod).cast("long").alias("content_hash"),
+    )
+    return node_row.unionByName(way_row)
 
 
 # ===========================================================================
@@ -1518,31 +1734,51 @@ def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (SELECT doc_id AS media_id FROM documents),
     px AS (
       SELECT media_id, xx.x, yy.y FROM g, range(0, 16) xx(x), range(0, 16) yy(y)
+      WHERE media_id % 2 = 0
     ),
-    m AS (
+    pm AS (
       SELECT media_id,
              (sum((x + media_id) % 256)::DOUBLE / 256.0) AS mr,
              (sum((y + media_id) % 256)::DOUBLE / 256.0) AS mg,
              (sum((x + 2 * y + media_id) % 256)::DOUBLE / 256.0) AS mb
       FROM px GROUP BY media_id
+    ),
+    -- odd ids are baseline JPEGs of 8x8-constant gray blocks; the quality-75
+    -- DC quantizer makes decode exact, so the mean is the block-value mean
+    jb AS (
+      SELECT media_id, bb.bx, cc.by FROM g, range(0, 2) bb(bx), range(0, 2) cc(by)
+      WHERE media_id % 2 = 1
+    ),
+    jm AS (
+      SELECT media_id, sum((bx * 7 + by * 13 + media_id) % 256)::DOUBLE / 4.0 AS m
+      FROM jb GROUP BY media_id
+    ),
+    allm AS (
+      SELECT media_id, mr, mg, mb FROM pm
+      UNION ALL
+      SELECT media_id, m, m, m FROM jm
     )
     SELECT media_id, 16::INT AS width, 16::INT AS height,
            round(mr::REAL::DOUBLE, 5) AS mean_r,
            round(mg::REAL::DOUBLE, 5) AS mean_g,
            round(mb::REAL::DOUBLE, 5) AS mean_b,
            round(CAST(255.0 AS REAL)::DOUBLE, 5) AS mean_a
-    FROM m
+    FROM allm
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode path: deterministic RGBA PNGs are generated per
-    document id, decoded by the pure stdlib-zlib PNG decoder
-    (operators/multimodal.decode_png), and per-channel pixel means are
-    hash-compared against the closed-form expectation in SQL."""
+    """REAL image decode over a MIXED media table: even document ids carry
+    deterministic RGBA PNGs (pure stdlib-zlib decoder), odd ids carry
+    baseline JPEGs (pure-NumPy T.81 Huffman+DCT codec, functions/jpeg);
+    per-channel pixel means hash-compare against closed-form SQL (the JPEG
+    fixture is block-constant, making the lossy codec bit-exact — see
+    operators/multimodal.synth_jpeg_media)."""
     from .operators import multimodal as _mm
 
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
-    media = _mm.synth_png_media(ids=docs, size=16)
+    png = _mm.synth_png_media(ids=docs.filter(F.col("media_id") % 2 == 0), size=16)
+    jpg = _mm.synth_jpeg_media(ids=docs.filter(F.col("media_id") % 2 == 1), size=16)
+    media = png.unionByName(jpg)
     out = _mm.decode_media(media)
     return out.select(
         "media_id", "width", "height",
@@ -2371,7 +2607,7 @@ def _mp_fixture(spark: SparkSession, sf_dir: str):
     - patch nodes: 1000+k (k < 50) on class-k positions with version 1
       (stage-6 dedupe: beats the v0 base survivor);
     - base ways: documents-derived with duplicate trios (geometry groups =
-      src % 75; half full ties -> min id, half graded versions);
+      src % 75; half full ties -> max id survives, half graded versions);
     - patch ways: ids = 15 mod 20 with refs to base-survivor node ids and
       identical tags per (id % 75) group — exercises the isWayEqual
       property path (their refs don't resolve against patch nodes)."""
@@ -2426,10 +2662,11 @@ _MP_ORACLE = """
                   ELSE 0 END AS version
       FROM bw
     ),
-    -- stage 1: base way dedupe (geometry groups = g; version desc, id asc)
+    -- stage 1: base way dedupe (geometry groups = g; version desc, id desc
+    -- — flattened full-tie survivor is the max id, relation-dedup.test.ts)
     base_ways AS (
       SELECT id, g FROM (
-        SELECT id, g, row_number() OVER (PARTITION BY g ORDER BY version DESC, id ASC) AS rn
+        SELECT id, g, row_number() OVER (PARTITION BY g ORDER BY version DESC, id DESC) AS rn
         FROM bwv
       ) WHERE rn = 1
     ),
@@ -2437,7 +2674,7 @@ _MP_ORACLE = """
     patch_ways AS (
       SELECT id, g FROM (
         SELECT doc_id AS id, doc_id % 75 AS g,
-               row_number() OVER (PARTITION BY doc_id % 75 ORDER BY doc_id ASC) AS rn
+               row_number() OVER (PARTITION BY doc_id % 75 ORDER BY doc_id DESC) AS rn
         FROM documents WHERE doc_id % 20 = 15
       ) WHERE rn = 1
     ),

@@ -33,6 +33,22 @@ WAY_SCHEMA = T.StructType(
     ]
 )
 
+MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType(), False),
+        T.StructField("ref", T.LongType(), False),
+        T.StructField("role", T.StringType(), True),
+    ]
+)
+
+RELATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("members", T.ArrayType(MEMBER_SCHEMA), False),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
 
 def base_nodes(spark: SparkSession) -> DataFrame:
     """mocks.ts:11-26 — node 0 at the centroid, node 1 one km west."""

@@ -147,10 +147,14 @@ def test_dedupe_ways_geometry_hash(spark):
     assert repl == {(100, 101)}
 
 
-def test_dedupe_ways_three_way_tie_min_id_survives(spark):
-    """changeset.ts:497 Math.min(...survivorIds): a >=3-way group of equal
-    (version, tag-count) duplicate ways resolves to the MIN id (ways differ
-    from nodes, whose equal ties keep the max, changeset.ts:276-287)."""
+def test_dedupe_ways_three_way_tie_max_id_survives(spark):
+    """A >=3-way group of equal (version, tag-count) duplicate ways resolves
+    to the MAX id: the reference's sequential pass chains each way to a later
+    candidate (10->20, 20->30) and flattening ends at the max —
+    relation-dedup.test.ts:85-92 pins {10->30, 20->30} for equal ways
+    10/20/30. (Math.min at changeset.ts:497 only picks within ONE way's
+    candidate set mid-sequence; it never decides the flattened end state of
+    a fully-tied group.)"""
     nodes = spark.createDataFrame(
         [(1, 1.0, 1.0, None), (2, 2.0, 2.0, None)], fixtures.NODE_SCHEMA
     )
@@ -163,7 +167,7 @@ def test_dedupe_ways_three_way_tie_min_id_survives(spark):
         fixtures.WAY_SCHEMA,
     )
     repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_ways(ways, nodes).collect()}
-    assert repl == {(200, 100), (300, 100)}
+    assert repl == {(100, 300), (200, 300)}
 
 
 def test_dedupe_ways_property_equality_path(spark):
@@ -180,7 +184,158 @@ def test_dedupe_ways_property_equality_path(spark):
         fixtures.WAY_SCHEMA,
     )
     repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_ways(ways, nodes).collect()}
-    assert repl == {(11, 10)}
+    assert repl == {(10, 11)}
+
+
+def _members(rows):
+    return [tuple(r) for r in rows]
+
+
+def test_relation_dedup_node_members_golden(spark):
+    """relation-dedup.test.ts:24-59 — three chained coincident nodes
+    (1, 2, 3 within 1 m): flattened map {1->3, 2->3}; way [1,3] becomes [3]
+    (substitute then adjacent-fold); relation members rewritten to node 3
+    with roles preserved, the two now-adjacent (node,3,stop) members folded
+    to one, the (node,3,platform) member kept."""
+    nodes = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, None),
+            (2, 0.0, 0.000007, None),
+            (3, 0.0, 0.000014, None),
+        ],
+        fixtures.NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame([(10, [1, 3], {"highway": "path"})], fixtures.WAY_SCHEMA)
+    relations = spark.createDataFrame(
+        [
+            (
+                20,
+                [("node", 1, "stop"), ("node", 2, "stop"), ("node", 3, "platform")],
+                None,
+            )
+        ],
+        fixtures.RELATION_SCHEMA,
+    )
+
+    repl = merge.dedupe_nodes(nodes)
+    assert {(r["from_id"], r["to_id"]) for r in repl.collect()} == {(1, 3), (2, 3)}
+
+    way10 = merge.rewrite_way_refs(ways, repl).collect()[0]
+    assert way10["refs"] == [3]
+
+    rel20 = merge.rewrite_relation_members(relations, node_repl=repl).collect()[0]
+    assert _members(rel20["members"]) == [("node", 3, "stop"), ("node", 3, "platform")]
+
+
+def test_relation_dedup_way_members_golden(spark):
+    """relation-dedup.test.ts:61-105 — three identical ways 10/20/30:
+    flattened map {10->30, 20->30}; relation members rewritten to way 30
+    with ROLES AND ORDER preserved, the two now-adjacent (way,30,outer)
+    members folded, the (way,30,inner) member kept (role differs), and the
+    trailing node member untouched."""
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0, None), (2, 1.0, 0.0, None)], fixtures.NODE_SCHEMA
+    )
+    ways = spark.createDataFrame(
+        [
+            (10, [1, 2], {"highway": "path"}),
+            (20, [1, 2], {"highway": "path"}),
+            (30, [1, 2], {"highway": "path"}),
+        ],
+        fixtures.WAY_SCHEMA,
+    )
+    relations = spark.createDataFrame(
+        [
+            (
+                40,
+                [
+                    ("way", 10, "outer"),
+                    ("way", 20, "outer"),
+                    ("way", 30, "inner"),
+                    ("node", 1, "label"),
+                ],
+                None,
+            )
+        ],
+        fixtures.RELATION_SCHEMA,
+    )
+
+    repl = merge.dedupe_ways(ways, nodes)
+    assert {(r["from_id"], r["to_id"]) for r in repl.collect()} == {(10, 30), (20, 30)}
+
+    rel40 = merge.rewrite_relation_members(relations, way_repl=repl).collect()[0]
+    assert _members(rel40["members"]) == [
+        ("way", 30, "outer"),
+        ("way", 30, "inner"),
+        ("node", 1, "label"),
+    ]
+
+
+def test_relation_member_adjacent_fold_exact(spark):
+    """relation-dedup.test.ts:107-131 — only EXACT adjacent duplicates
+    (type, ref, role all equal) fold; same ref with different type or role,
+    or duplicates separated by other members, are kept."""
+    relations = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    ("way", 5, "outer"),
+                    ("way", 5, "inner"),
+                    ("node", 5, "inner"),
+                    ("node", 5, "inner"),
+                    ("way", 5, "outer"),
+                ],
+                None,
+            )
+        ],
+        fixtures.RELATION_SCHEMA,
+    )
+    out = merge.rewrite_relation_members(relations).collect()[0]
+    assert _members(out["members"]) == [
+        ("way", 5, "outer"),
+        ("way", 5, "inner"),
+        ("node", 5, "inner"),
+        ("way", 5, "outer"),
+    ]
+
+
+def test_merge_pipeline_carries_relations(spark):
+    """pipeline.merge_datasets with relations: patch relation upserts over
+    base by id, members rewritten through the final node dedupe."""
+    from osmix_spark.operators import pipeline
+
+    base_n = spark.createDataFrame(
+        [(1, 0.0, 0.0, None), (2, 0.0, 0.000007, None), (5, 1.0, 1.0, None)],
+        fixtures.NODE_SCHEMA,
+    )
+    base_w = spark.createDataFrame([(10, [1, 5], None)], fixtures.WAY_SCHEMA)
+    base_r = spark.createDataFrame(
+        [
+            (100, [("node", 1, "stop"), ("way", 10, None)], None),
+            (101, [("node", 5, "via")], {"type": "route"}),
+        ],
+        fixtures.RELATION_SCHEMA,
+    )
+    patch_n = spark.createDataFrame([(6, 2.0, 2.0, None)], fixtures.NODE_SCHEMA)
+    patch_w = spark.createDataFrame([(11, [6, 6], None)], fixtures.WAY_SCHEMA)
+    patch_r = spark.createDataFrame(
+        [(101, [("node", 6, "via")], {"type": "route", "v": "2"})],
+        fixtures.RELATION_SCHEMA,
+    )
+
+    nodes, ways, relations, stats = pipeline.merge_datasets(
+        base_n, base_w, patch_n, patch_w, create_intersections=False,
+        base_relations=base_r, patch_relations=patch_r,
+    )
+    rels = {r["id"]: r for r in relations.collect()}
+    assert set(rels) == {100, 101}
+    # patch relation 101 won the LWW upsert
+    assert rels[101]["tags"] == {"type": "route", "v": "2"}
+    assert _members(rels[101]["members"]) == [("node", 6, "via")]
+    # base nodes 1 and 2 coincide (max id survives) -> member rewritten
+    assert _members(rels[100]["members"]) == [("node", 2, "stop"), ("way", 10, None)]
+    assert stats["merged_relations"] == 2
 
 
 def test_dedupe_ways_version_beats_id(spark):

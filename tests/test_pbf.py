@@ -109,3 +109,74 @@ def test_varint_negative_terminates():
     b = pw.varint(-1)
     assert len(b) == 10  # 64-bit two's complement, protobuf int64
     assert pw.read_varint(b, 0)[0] == (1 << 64) - 1
+
+
+def test_missing_node_refs_preserved_losslessly(spark, tmp_path):
+    """Reference packages/load/test/missing-node-refs.test.ts: a way whose
+    refs point at absent nodes at the FIRST, MIDDLE, and LAST positions
+    keeps those ids losslessly through a write->read round trip (the
+    reference stores them in missingRefPositions/missingRefIds; our
+    relational model keeps refs as OSM ids, so the invariant is that none
+    are dropped or reordered)."""
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0, None), (2, 1e-7, 1e-7, None)], fixtures.NODE_SCHEMA
+    )
+    # decoded refs of the reference's delta block [99,-98,97,-96,95]
+    ways = spark.createDataFrame(
+        [(300, [99, 1, 98, 2, 97], None), (301, [500, 501], None)],
+        fixtures.WAY_SCHEMA,
+    )
+    path = str(tmp_path / "missing.pbf")
+    pbf.write_pbf(path, nodes, ways)
+    out = pbf.read_pbf(spark, path)
+    got = {r["id"]: list(r["refs"]) for r in out["ways"].collect()}
+    assert got == {300: [99, 1, 98, 2, 97], 301: [500, 501]}
+
+
+def test_missing_node_refs_resolution_semantics(spark):
+    """missing-node-refs.test.ts dangling-ref expectations re-expressed for
+    the join model: the per-way bbox aggregates over RESOLVABLE refs only
+    (way 300 -> bbox of nodes 1 and 2; way 301 with no resolvable refs has
+    no bbox row at all — the 'inverted bbox' that can never match,
+    ways.ts:350-359), tolerant resolution (getResolvedCoordinates) yields
+    the resolvable coordinate subsequence, and strict resolution
+    (getCoordinates) surfaces the gap."""
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0, None), (2, 1e-7, 1e-7, None)], fixtures.NODE_SCHEMA
+    )
+    ways = spark.createDataFrame(
+        [(300, [99, 1, 98, 2, 97], None), (301, [500, 501], None)],
+        fixtures.WAY_SCHEMA,
+    )
+    refs = ways.select("id", F.posexplode("refs").alias("seq", "ref"))
+    resolved = refs.join(
+        nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref", "left"
+    )
+    # tolerant: drop unresolvable refs, keep order (ways.ts:304-345)
+    tolerant = (
+        resolved.filter(F.col("lon").isNotNull())
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("seq", "lon", "lat"))).alias("s"))
+        .select("id", F.col("s.lon").alias("lons"), F.col("s.lat").alias("lats"))
+    )
+    t = {r["id"]: list(zip(r["lons"], r["lats"])) for r in tolerant.collect()}
+    assert t == {300: [(0.0, 0.0), (1e-7, 1e-7)]}  # way 301 fully dangling
+
+    # bbox over resolvable refs only; no row for way 301
+    bbox = (
+        resolved.filter(F.col("lon").isNotNull())
+        .groupBy("id")
+        .agg(F.min("lon").alias("minx"), F.min("lat").alias("miny"),
+             F.max("lon").alias("maxx"), F.max("lat").alias("maxy"))
+    )
+    b = {r["id"]: (r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in bbox.collect()}
+    assert set(b) == {300}
+    assert b[300] == (0.0, 0.0, 1e-7, 1e-7)
+
+    # strict: a way with ANY unresolvable ref is flagged (getCoordinates throw)
+    strict_bad = (
+        resolved.groupBy("id")
+        .agg(F.sum(F.when(F.col("lon").isNull(), 1).otherwise(0)).alias("n_missing"))
+        .filter(F.col("n_missing") > 0)
+    )
+    assert {r["id"] for r in strict_bad.collect()} == {300, 301}
