@@ -113,6 +113,187 @@ def shortest_path(edges: DataFrame, source: int, max_rounds: int = 200,
     return dist
 
 
+def astar_distance(edges: DataFrame, nodes: DataFrame, source: int, target: int,
+                   max_rounds: int = 200, broadcast_edges: bool = True) -> DataFrame:
+    """Goal-directed s->t shortest path (A*, reference
+    algorithms/shortest-path.ts:127): the label-correcting fixpoint with the
+    frontier PRUNED by the admissible great-circle heuristic — a frontier
+    node n is dropped once dist(n) + haversine(n, target) exceeds the best
+    known s->t cost, since no path through n can beat it (edge weights are
+    haversine meters, so h never overestimates). Returns (node, dist, via);
+    dist at `target` is the exact s->t distance, other labels may be
+    goal-pruned partials — exactly A*'s contract.
+
+    nodes: (id, lon, lat) for the heuristic. Scale shape matches
+    shortest_path: one shuffle per round, plus a broadcast join of the
+    frontier against the (small per-round) coordinate lookup; the
+    upper-bound check is a 1-row aggregate per round.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "w").localCheckpoint()
+    if broadcast_edges:
+        e = F.broadcast(e)
+    tgt = nodes.filter(F.col("id") == target).select("lon", "lat").collect()
+    if not tgt:
+        return spark.createDataFrame([], "node long, dist double, via long")
+    tlon, tlat = float(tgt[0]["lon"]), float(tgt[0]["lat"])
+    coords = nodes.select(F.col("id").alias("node"), "lon", "lat").localCheckpoint()
+
+    dist = spark.createDataFrame(
+        [(source, 0.0, source)], "node long, dist double, via long"
+    ).localCheckpoint()
+    frontier = dist
+    ub = None  # best known s->t cost
+    for _ in range(max_rounds):
+        cand = frontier.join(e, frontier["node"] == e["src"]).select(
+            e["dst"].alias("node"),
+            (frontier["dist"] + e["w"]).alias("dist"),
+            e["src"].alias("via"),
+        )
+        best = cand.groupBy("node").agg(F.min(F.struct("dist", "via")).alias("b"))
+        improved = (
+            best.join(dist.select("node", F.col("dist").alias("old")), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("b.dist") < F.col("old")))
+            .select("node", F.col("b.dist").alias("dist"), F.col("b.via").alias("via"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "via")).alias("b"))
+            .select("node", F.col("b.dist").alias("dist"), F.col("b.via").alias("via"))
+            .localCheckpoint()
+        )
+        hit = improved.filter(F.col("node") == target).select(F.min("dist")).collect()
+        if hit and hit[0][0] is not None:
+            ub = hit[0][0] if ub is None else min(ub, float(hit[0][0]))
+        frontier = improved
+        if ub is not None:
+            h = geo.haversine_m(F.col("lon"), F.col("lat"), F.lit(tlon), F.lit(tlat))
+            frontier = (
+                frontier.join(coords, "node", "left")
+                .filter(F.col("lon").isNull() | (F.col("dist") + h <= F.lit(ub)))
+                .select("node", "dist", "via")
+                .localCheckpoint()
+            )
+            if frontier.isEmpty():
+                break
+    return dist
+
+
+def bidirectional_distance(edges: DataFrame, source: int, target: int,
+                           max_rounds: int = 200,
+                           broadcast_edges: bool = True):
+    """Bidirectional s->t search (reference algorithms/bidirectional.ts:20):
+    forward fixpoint from `source` and backward fixpoint from `target` over
+    the reversed edge list advance in lockstep; after each round the best
+    meeting cost mu = min over nodes of (dist_f + dist_b) tightens, and the
+    search stops once min(frontier_f) + min(frontier_b) >= mu — any
+    undiscovered s->t path must cross both frontiers, so it cannot beat mu
+    (exactness argument in tests/test_router.py). Returns
+    (dist_f, dist_b, mu, meet_node); mu is None if unreachable.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "w").localCheckpoint()
+    er = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    if broadcast_edges:
+        e, er = F.broadcast(e), F.broadcast(er)
+
+    def init(node: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(node, 0.0, node)], "node long, dist double, via long"
+        ).localCheckpoint()
+
+    dist_f, dist_b = init(source), init(target)
+    fr_f, fr_b = dist_f, dist_b
+    mu, meet = None, None
+
+    def expand(frontier: DataFrame, dist: DataFrame, edge: DataFrame):
+        cand = frontier.join(edge, frontier["node"] == edge["src"]).select(
+            edge["dst"].alias("node"),
+            (frontier["dist"] + edge["w"]).alias("dist"),
+            edge["src"].alias("via"),
+        )
+        best = cand.groupBy("node").agg(F.min(F.struct("dist", "via")).alias("b"))
+        improved = (
+            best.join(dist.select("node", F.col("dist").alias("old")), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("b.dist") < F.col("old")))
+            .select("node", F.col("b.dist").alias("dist"), F.col("b.via").alias("via"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            return None, dist
+        merged = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "via")).alias("b"))
+            .select("node", F.col("b.dist").alias("dist"), F.col("b.via").alias("via"))
+            .localCheckpoint()
+        )
+        return improved, merged
+
+    for _ in range(max_rounds):
+        new_f, dist_f = expand(fr_f, dist_f, e) if fr_f is not None else (None, dist_f)
+        new_b, dist_b = expand(fr_b, dist_b, er) if fr_b is not None else (None, dist_b)
+        if new_f is None and new_b is None:
+            break
+        # tighten mu with meetings involving this round's improvements
+        probes = []
+        if new_f is not None:
+            probes.append(new_f.join(dist_b.select("node", F.col("dist").alias("db")), "node")
+                          .select("node", (F.col("dist") + F.col("db")).alias("mu")))
+        if new_b is not None:
+            probes.append(new_b.join(dist_f.select("node", F.col("dist").alias("df")), "node")
+                          .select("node", (F.col("dist") + F.col("df")).alias("mu")))
+        if probes:
+            allp = probes[0] if len(probes) == 1 else probes[0].unionByName(probes[1])
+            top = allp.orderBy("mu", "node").limit(1).collect()
+            if top and (mu is None or float(top[0]["mu"]) < mu):
+                mu, meet = float(top[0]["mu"]), int(top[0]["node"])
+        fr_f, fr_b = new_f, new_b
+        if mu is not None:
+            mins = []
+            for fr in (fr_f, fr_b):
+                if fr is None:
+                    mins.append(None)
+                    continue
+                m = fr.select(F.min("dist")).collect()[0][0]
+                mins.append(float(m) if m is not None else None)
+            if mins[0] is not None and mins[1] is not None and mins[0] + mins[1] >= mu:
+                break
+    return dist_f, dist_b, mu, meet
+
+
+def route_bidirectional(edges: DataFrame, source: int, target: int,
+                        max_rounds: int = 200, max_hops: int = 10_000,
+                        broadcast_edges: bool = True) -> DataFrame:
+    """Point-to-point route via the bidirectional search: the forward
+    predecessor chain source->meet and the backward chain meet->target are
+    each extracted by pointer doubling and concatenated. Returns
+    DataFrame(pos, node) with pos counting hops from the TARGET (matching
+    route()); empty if unreachable."""
+    dist_f, dist_b, mu, meet = bidirectional_distance(
+        edges, source, target, max_rounds, broadcast_edges
+    )
+    spark = edges.sparkSession
+    if mu is None:
+        return spark.createDataFrame([], "pos long, node long")
+    # both chains are expanded FROM the meeting node: the forward table's
+    # vias lead back to source, the backward table's to target
+    fwd = reconstruct_path_df(dist_f, meet, max_hops)   # pos 0=meet .. source
+    bwd = reconstruct_path_df(dist_b, meet, max_hops)   # pos 0=meet .. target
+    n_bwd = bwd.count()  # path-sized
+    # output pos counts hops from TARGET (0=target .. max=source): flip the
+    # backward chain, shift the forward one past it, drop the duplicate meet
+    bwd_flip = bwd.select((F.lit(n_bwd - 1) - F.col("pos")).alias("pos"), "node")
+    fwd_shift = fwd.filter(F.col("pos") > 0).select(
+        (F.col("pos") + F.lit(n_bwd - 1)).alias("pos"), "node"
+    )
+    return bwd_flip.unionByName(fwd_shift)
+
+
 def reconstruct_path_df(dist: DataFrame, target: int,
                         max_hops: int = 10_000) -> DataFrame:
     """Distributed predecessor-chain extraction by pointer doubling

@@ -2932,6 +2932,46 @@ def osm_route_p2p(spark: SparkSession, sf_dir: str) -> DataFrame:
     return router.route(edges, source=0, target=_GRID_N - 1)
 
 
+_ASTAR_SQL = (
+    _route_oracle_sql()[: _route_oracle_sql().rindex("SELECT node::BIGINT")]
+    + f"SELECT node::BIGINT AS node, dist AS dist_m FROM d44 WHERE node = {_GRID_N - 1}"
+)
+
+
+@_q("osm_route_astar", _ASTAR_SQL, extra=True)
+def osm_route_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* point-to-point distance (algorithms/shortest-path.ts:127): the
+    goal-pruned fixpoint's target label must equal the full Bellman-Ford
+    fixpoint's. Node coordinates are scaled tiny (1e-6 deg per grid step)
+    so the haversine heuristic stays admissible under the synthetic
+    quarter-multiple weights. Extra tier: the unpruned SSSP/p2p queries
+    cover the shared fixpoint machinery in the driver window; this pins the
+    pruning layer (also pytest: test_router.py::test_astar_*)."""
+    from .operators import router
+
+    ids = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") >= 0) & (F.col("c_custkey") <= _GRID_N - 1)
+    ).select(F.col("c_custkey").alias("id"))
+    right = ids.filter(
+        (F.col("id") % _GRID_W != _GRID_W - 1) & (F.col("id") + 1 <= _GRID_N - 1)
+    ).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    down = ids.filter(F.col("id") + _GRID_W <= _GRID_N - 1).select(
+        F.col("id").alias("src"), (F.col("id") + _GRID_W).alias("dst")
+    )
+    ew = right.unionByName(down).select(
+        "src", "dst",
+        (F.lit(1.0) + ((F.col("src") * 7 + F.col("dst") * 13) % 8).cast("double") * 0.25).alias("w"),
+    )
+    edges = ew.unionByName(ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    nodes = ids.select(
+        "id",
+        ((F.col("id") % _GRID_W).cast("double") * 1e-6).alias("lon"),
+        ((F.col("id") / _GRID_W).cast("long").cast("double") * 1e-6).alias("lat"),
+    )
+    out = router.astar_distance(edges, nodes, source=0, target=_GRID_N - 1)
+    return out.filter(F.col("node") == _GRID_N - 1).select("node", F.col("dist").alias("dist_m"))
+
+
 @_q("embed_ann_ivf", _ann_ivf_sql())
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-file ANN (operators/similarity.ivf_topk): deterministic

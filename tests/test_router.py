@@ -93,3 +93,88 @@ def test_route_p2p_small(spark):
     rows = sorted(router.route(edges, 0, 2).collect(), key=lambda r: -r["pos"])
     assert [r["node"] for r in rows] == [0, 1, 2]
     assert rows[-1]["dist"] == 3.0
+
+
+def _grid_edges(w: int, hgt: int):
+    """Deterministic weighted grid (both directions)."""
+    e = []
+    for y in range(hgt):
+        for x in range(w):
+            n = y * w + x
+            if x + 1 < w:
+                wt = 1.0 + ((n * 7 + (n + 1) * 13) % 8) * 0.25
+                e += [(n, n + 1, wt), (n + 1, n, wt)]
+            if y + 1 < hgt:
+                m = n + w
+                wt = 1.0 + ((n * 7 + m * 13) % 8) * 0.25
+                e += [(n, m, wt), (m, n, wt)]
+    return e
+
+
+def test_bidirectional_matches_sssp(spark):
+    """bidirectional.ts:20 semantics: the meeting-point cost mu equals the
+    single-direction s->t distance; exactness of the stopping rule
+    min(frontier_f)+min(frontier_b) >= mu follows because any undiscovered
+    s->t path still crosses a node of each frontier, so it costs at least
+    that sum (label improvements only ever flow through frontier nodes and
+    positive edge weights)."""
+    e = _grid_edges(6, 5)
+    edges = spark.createDataFrame(e, "src long, dst long, w double")
+    expect = _reference_dijkstra(e, 0)[29]
+    _df, _db, mu, meet = router.bidirectional_distance(edges, 0, 29)
+    assert mu is not None and abs(mu - expect) < 1e-9
+    path = router.route_bidirectional(edges, 0, 29).collect()
+    ordered = [r["node"] for r in sorted(path, key=lambda r: -r["pos"])]
+    assert ordered[0] == 0 and ordered[-1] == 29
+    # path cost equals mu
+    adj = {(s, d): w for s, d, w in e}
+    assert abs(sum(adj[(a, b)] for a, b in zip(ordered, ordered[1:])) - mu) < 1e-9
+    assert meet in ordered
+
+
+def test_bidirectional_unreachable(spark):
+    e = [(0, 1, 1.0), (2, 3, 1.0)]
+    edges = spark.createDataFrame(e, "src long, dst long, w double")
+    _df, _db, mu, _meet = router.bidirectional_distance(edges, 0, 3, max_rounds=5)
+    assert mu is None
+    assert router.route_bidirectional(edges, 0, 3, max_rounds=5).count() == 0
+
+
+def test_astar_matches_sssp_distance(spark):
+    """shortest-path.ts:127 A*: the goal-pruned fixpoint returns the exact
+    s->t distance (haversine heuristic is admissible for haversine edge
+    weights)."""
+    nodes = spark.createDataFrame(
+        [(i, 0.001 * (i % 6), 0.001 * (i // 6), None) for i in range(30)],
+        fixtures.NODE_SCHEMA,
+    )
+    # grid edges weighted by actual haversine between endpoints
+    ways = spark.createDataFrame(
+        [(100 + y, [y * 6 + x for x in range(6)], None) for y in range(5)]
+        + [(200 + x, [y * 6 + x for y in range(5)], None) for x in range(6)],
+        fixtures.WAY_SCHEMA,
+    )
+    edges = router.build_edges(ways, nodes)
+    full = {r["node"]: r["dist"] for r in router.shortest_path(edges, 0).collect()}
+    out = router.astar_distance(edges, nodes, 0, 29)
+    got = out.filter(F.col("node") == 29).collect()[0]["dist"]
+    assert abs(got - full[29]) < 1e-9
+
+
+def test_astar_prunes_frontier(spark):
+    """With a detour far from the goal, A* must settle fewer labels than the
+    full SSSP (the point of goal direction)."""
+    # straight line 0..9 toward the target plus a big far-away blob off node 0
+    nodes = [(i, 0.001 * i, 0.0, None) for i in range(10)]
+    nodes += [(100 + i, -0.05 - 0.001 * i, 0.05, None) for i in range(40)]
+    nodes_df = spark.createDataFrame(nodes, fixtures.NODE_SCHEMA)
+    ways = [(500, list(range(10)), None)]
+    ways += [(600 + i, [0 if i == 0 else 100 + i - 1, 100 + i], None) for i in range(40)]
+    ways_df = spark.createDataFrame(ways, fixtures.WAY_SCHEMA)
+    edges = router.build_edges(ways_df, nodes_df)
+    full = router.shortest_path(edges, 0)
+    pruned = router.astar_distance(edges, nodes_df, 0, 9)
+    assert pruned.count() < full.count()
+    d_full = full.filter(F.col("node") == 9).collect()[0]["dist"]
+    d_astar = pruned.filter(F.col("node") == 9).collect()[0]["dist"]
+    assert abs(d_full - d_astar) < 1e-9
