@@ -138,6 +138,19 @@ def _build_decode_map(bits, vals):
     return out
 
 
+# the standard tables never change — build the encoder's code dicts once
+def _std_codes():
+    return (
+        [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+         _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)],
+        [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+         _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)],
+    )
+
+
+_STD_DC_CODES, _STD_AC_CODES = _std_codes()
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.buf = bytearray()
@@ -227,10 +240,8 @@ def encode_baseline(img: np.ndarray, quality: int = 75, subsample: str = "444") 
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
         qids = [0, 1, 1]
 
-    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-                _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-                _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    dc_codes = _STD_DC_CODES
+    ac_codes = _STD_AC_CODES
 
     # per-plane quantized blocks (row-major block order)
     qblocks = []
