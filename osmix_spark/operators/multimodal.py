@@ -295,6 +295,50 @@ def synth_jpeg_media(spark=None, n: int | None = None, parts: int = 4,
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_mixed_media(ids: DataFrame, size: int = 16) -> DataFrame:
+    """One-pass mixed-format media table: even media_ids get the PNG
+    fixture (synth_png_media pixels), odd ids the block-constant JPEG
+    fixture (synth_jpeg_media) — a single mapInPandas instead of two
+    filtered generators + a union (one stage less; payload bytes
+    identical)."""
+    from ..functions import jpeg as _jpeg
+    from .tiles import _write_png_rgba
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        nb = size // 8
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                if mid % 2 == 0:
+                    x = np.arange(size, dtype=np.int64)[None, :]
+                    y = np.arange(size, dtype=np.int64)[:, None]
+                    img = np.zeros((size, size, 4), dtype=np.uint8)
+                    img[:, :, 0] = (x + mid) % 256
+                    img[:, :, 1] = (y + mid) % 256
+                    img[:, :, 2] = (x + 2 * y + mid) % 256
+                    img[:, :, 3] = 255
+                    payload, mime = _write_png_rgba(img), "image/png"
+                else:
+                    g = np.zeros((size, size), dtype=np.uint8)
+                    for by in range(nb):
+                        for bx in range(nb):
+                            g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                bx * 7 + by * 13 + mid
+                            ) % 256
+                    payload = _jpeg.encode_baseline(
+                        np.stack([g, g, g], axis=-1), quality=75
+                    )
+                    mime = "image/jpeg"
+                rows.append({"media_id": mid, "kind": "image", "mime": mime,
+                             "payload": payload, "meta": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregation: MUST NOT read the payload column — the
     projection keeps binary bytes out of the scan (check ReadSchema in

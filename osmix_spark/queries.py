@@ -1775,10 +1775,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.synth_jpeg_media)."""
     from .operators import multimodal as _mm
 
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
-    png = _mm.synth_png_media(ids=docs.filter(F.col("media_id") % 2 == 0), size=16)
-    jpg = _mm.synth_jpeg_media(ids=docs.filter(F.col("media_id") % 2 == 1), size=16)
-    media = png.unionByName(jpg)
+    # spread the Python codec chain across cores — the documents table can
+    # be a single parquet split, which would serialize both mapInPandas
+    # stages onto one task
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    media = _mm.synth_mixed_media(docs, size=16)
     out = _mm.decode_media(media)
     return out.select(
         "media_id", "width", "height",
@@ -1826,7 +1829,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode end to end."""
     from .operators import multimodal as _mm
 
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    ).repartition(spark.sparkContext.defaultParallelism)  # see multimodal_decode
     media = _mm.synth_png_media(ids=docs, size=16)
     resized = _mm.resize_images(media, factor=2)
     out = _mm.decode_media(resized.withColumn("kind", F.lit("image")))
@@ -2058,13 +2063,14 @@ def shortbread_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry type exactly as matchTags (layers.ts:921-946) — one exploded
     row per (entity, matching layer). The oracle is generated from the SAME
     kind maps, so any divergence in matcher logic flips the hash."""
-    from .operators.shortbread import layer_matches
+    from .operators.shortbread import layer_matches_expr
 
     docs = _t(spark, sf_dir, "documents")
     tagged = _sb_tagged_spark(docs)
     out = tagged.select(
         "doc_id",
-        F.explode(layer_matches(F.col("tags"), F.col("geom"))).alias("e"),
+        # one-parse SQL twin of layer_matches (same generated matchers)
+        F.explode(layer_matches_expr()).alias("e"),
     )
     return out.select(
         "doc_id", "e.layer", "e.kind", "e.name", "e.name_en", "e.name_de",
@@ -2626,6 +2632,28 @@ def _mp_fixture(spark: SparkSession, sf_dir: str):
         (F.lit(46.0) + ((F.col("p_partkey") * 91) % 500).cast("double") * 0.0005).alias("lat"),
         F.create_map(F.lit("ext:osm_version"), F.lit("1")).alias("tags"),
     )
+
+    def _member(ref, role):
+        return F.struct(
+            F.lit("node").alias("type"), ref.cast("long").alias("ref"),
+            F.lit(role).alias("role"),
+        )
+
+    k = F.col("p_partkey")
+    # base relations 5000+k (k<20): members (node k, stop) + (node k+100,
+    # stop) — the base dedupe rewrites k -> k+100 and the now-adjacent
+    # duplicate folds; stage 6 rewrites k+100 -> 1000+k for k < 50
+    base_relations = part.filter(k < 20).select(
+        (k + 5000).alias("id"),
+        F.array(_member(k, "stop"), _member(k + 100, "stop")).alias("members"),
+        F.lit(None).cast("map<string,string>").alias("tags"),
+    )
+    # patch relations 5000+k (k<10) win the LWW upsert with a 'via' member
+    patch_relations = part.filter(k < 10).select(
+        (k + 5000).alias("id"),
+        F.array(_member(k, "via")).alias("members"),
+        F.create_map(F.lit("v"), F.lit("2")).alias("tags"),
+    )
     docs = _t(spark, sf_dir, "documents")
     m = F.col("doc_id") % 4
     src = F.when(m < 3, F.col("doc_id") - m).otherwise(F.col("doc_id"))
@@ -2647,7 +2675,7 @@ def _mp_fixture(spark: SparkSession, sf_dir: str):
         ).alias("refs"),
         F.create_map(F.lit("ext:osm_version"), F.lit("2")).alias("tags"),
     )
-    return base_nodes, base_ways, patch_nodes, patch_ways
+    return base_nodes, base_ways, patch_nodes, patch_ways, base_relations, patch_relations
 
 
 _MP_ORACLE = """
@@ -2703,10 +2731,21 @@ _MP_ORACLE = """
       SELECT 1000 + kk.k AS node_id FROM range(0, 50) kk(k)
       UNION ALL
       SELECT 100 + kk.k FROM range(50, 100) kk(k)
+    ),
+    -- relations: patch wins LWW for k<10 keeping its raw 'via' member (node
+    -- k was deleted before the patch arrived — a preserved missing ref);
+    -- base survivors' members fold to one after k -> k+100, then stage-6
+    -- rewrites k+100 -> 1000+k (k < 50 classes have a v1 patch node)
+    final_relmembers AS (
+      SELECT 5000 + kk.k AS rid, kk.k AS ref FROM range(0, 10) kk(k)
+      UNION ALL
+      SELECT 5000 + kk.k, 1000 + kk.k FROM range(10, 20) kk(k)
     )
     SELECT 'ref' AS kind, way_id, seq::INT AS seq, ref FROM final_refs
     UNION ALL
     SELECT 'node' AS kind, node_id, 0::INT, node_id FROM final_nodes
+    UNION ALL
+    SELECT 'relmember' AS kind, rid, 0::INT, ref FROM final_relmembers
 """
 
 
@@ -2714,14 +2753,17 @@ _MP_ORACLE = """
 def osm_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP §3.2 pipeline (merge.ts:43-110) end to end, oracle-
     backed: base/patch way dedupe (incl. the isWayEqual property path on
-    unresolvable patch refs), coincident-node dedupe with ref rewriting,
-    LWW upsert, final cross-dataset dedupe. The oracle computes the exact
-    expected end state analytically from the planted fixture."""
+    unresolvable patch refs), coincident-node dedupe with ref AND
+    relation-member rewriting (+ adjacent member folding), LWW upsert over
+    ways, nodes, and relations, final cross-dataset dedupe. The oracle
+    computes the exact expected end state analytically from the planted
+    fixture."""
     from .operators import pipeline as _pipeline
 
-    bn, bw, pn, pw = _mp_fixture(spark, sf_dir)
-    nodes, ways, _stats = _pipeline.merge_datasets(
-        bn, bw, pn, pw, create_intersections=False
+    bn, bw, pn, pw, br, pr = _mp_fixture(spark, sf_dir)
+    nodes, ways, relations, _stats = _pipeline.merge_datasets(
+        bn, bw, pn, pw, create_intersections=False,
+        base_relations=br, patch_relations=pr,
     )
     refs = ways.select(
         F.col("id").alias("way_id"), F.posexplode("refs").alias("seq", "ref")
@@ -2730,7 +2772,13 @@ def osm_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("node").alias("kind"), F.col("id").alias("way_id"),
         F.lit(0).cast("int").alias("seq"), F.col("id").alias("ref"),
     )
-    return refs.unionByName(nd)
+    rm = relations.select(
+        F.col("id").alias("way_id"), F.posexplode("members").alias("seq", "m")
+    ).select(
+        F.lit("relmember").alias("kind"), "way_id",
+        F.col("seq").cast("int").alias("seq"), F.col("m.ref").alias("ref"),
+    )
+    return refs.unionByName(nd).unionByName(rm)
 
 
 # ===========================================================================

@@ -328,3 +328,23 @@ def test_polygon_ring_fully_off_tile_collapses(spark):
     assert len(rows) == 1 and rows[0]["n_features"] == 1
     feats = mvt.decode_tile(bytes(rows[0]["tile"]))["areas"]
     assert [f["id"] for f in feats] == [50]
+
+
+def test_layer_matches_expr_equals_column_builder(spark, sf_dir):
+    """layer_matches_expr (one-parse SQL, generated from the same kind maps)
+    must agree row-for-row with the Column-builder layer_matches across all
+    geometry types — the fast path can't drift from the reference twin."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators.shortbread import layer_matches, layer_matches_expr
+    from osmix_spark.queries import _sb_tagged_spark
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tagged = _sb_tagged_spark(docs)
+    a = tagged.select(
+        "doc_id", F.explode(layer_matches(F.col("tags"), F.col("geom"))).alias("e")
+    )
+    b = tagged.select("doc_id", F.explode(layer_matches_expr()).alias("e"))
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
