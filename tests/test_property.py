@@ -145,3 +145,78 @@ def test_vectorized_polygon_encoder_matches_scalar(feats_in):
     vec = mvt._len_delim(3, mvt.layer_wrap(
         "areas", mvt.encode_polygon_frames_np(ids, xs, ys, rl, rpf)))
     assert vec == scalar
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=4, max_size=4),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_block_constant_roundtrip_exact(vals):
+    """Property: ANY 16x16 gray image whose four 8x8 blocks are constant
+    round-trips bit-exactly through the baseline JPEG codec at quality 75
+    (the DC quantizer equals the constant-block DCT gain) — the exactness
+    contract the SQL oracles rely on."""
+    import numpy as np
+
+    from osmix_spark.functions import jpeg
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = vals
+    dec = jpeg.decode_baseline(jpeg.encode_baseline(img, quality=75))
+    assert (dec[:, :, 0] == img).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=100),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_arbitrary_roundtrip_bounded(quality, seed):
+    """Property: arbitrary content decodes without error and with bounded
+    per-pixel error at high quality."""
+    import numpy as np
+
+    from osmix_spark.functions import jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    dec = jpeg.decode_baseline(jpeg.encode_baseline(img, quality=quality))
+    assert dec.shape == (16, 16, 3)
+    if quality >= 95:
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert err < 8.0
+
+
+def test_adjacent_member_fold_matches_reference_model(spark):
+    """The Spark array-fold in rewrite_relation_members must agree with a
+    direct Python port of removeDuplicateAdjacentRelationMembers
+    (utils.ts:62-80) on pseudo-random member lists — including null roles
+    (undefined === undefined keeps the pair foldable) and duplicates
+    separated by other members (kept)."""
+    import random
+
+    from osmix_spark.operators import merge
+    from osmix_spark.sources import fixtures
+
+    rng = random.Random(42)
+    rows = []
+    expected = {}
+    for rid in range(40):
+        n = rng.randint(0, 10)
+        members = [
+            (rng.choice(["node", "way"]), rng.randint(1, 4),
+             rng.choice(["outer", "inner", None]))
+            for _ in range(n)
+        ]
+        # reference filter: keep member when the NEXT differs (equivalent to
+        # one-per-run for maximal runs)
+        kept = [
+            m for i, m in enumerate(members)
+            if i + 1 >= len(members) or m != members[i + 1]
+        ]
+        rows.append((rid, members, None))
+        expected[rid] = kept
+    rels = spark.createDataFrame(rows, fixtures.RELATION_SCHEMA)
+    out = merge.rewrite_relation_members(rels)
+    got = {r["id"]: [tuple(m) for m in r["members"]] for r in out.collect()}
+    assert got == expected
