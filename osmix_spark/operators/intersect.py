@@ -256,7 +256,11 @@ def create_intersections(ways: DataFrame, nodes: DataFrame, z: int = 13):
     reuse_b = real.filter(F.col("near_a").isNull() & F.col("near_b").isNotNull())
     creates = real.filter(F.col("near_a").isNull() & F.col("near_b").isNull())
 
-    max_id = nodes.agg(F.max("id")).collect()[0][0] or 0
+    # first allocated id = next_entity_id(nodes) = true max + 1 (0 on an
+    # empty layer, negatives allocate toward zero — safe-id-allocation.test.ts)
+    from . import merge as _merge
+
+    max_id = _merge.next_entity_id(nodes) - 1
     # deterministic distributed id allocation: rank within cell partitions +
     # per-cell offsets (the tiny offsets window runs over #cells rows, not
     # #creates — no single-task global window at scale)

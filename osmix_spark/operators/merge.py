@@ -339,6 +339,22 @@ def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     return flatten_replacements(repl)
 
 
+def next_entity_id(*frames: DataFrame, key: str = "id") -> int:
+    """Safe new-id allocation (changeset.nextNodeId, pinned by the
+    reference's safe-id-allocation.test.ts): 1 + the true maximum id across
+    ALL given frames (base + patch during direct generation), 0 when every
+    frame is empty. Negative-id datasets allocate upward toward zero
+    (max of -8,-3,-5 -> next is -2). One aggregate job over the union."""
+    frames = [f for f in frames if f is not None]
+    if not frames:
+        return 0
+    u = frames[0].select(F.col(key).cast("long").alias("__id"))
+    for f in frames[1:]:
+        u = u.unionByName(f.select(F.col(key).cast("long").alias("__id")))
+    v = u.agg(F.max("__id")).collect()[0][0]
+    return 0 if v is None else int(v) + 1
+
+
 # ---------------------------------------------------------------------------
 # J9 — direct merge (last-write-wins upsert)
 # ---------------------------------------------------------------------------

@@ -352,3 +352,25 @@ def test_dedupe_ways_version_beats_id(spark):
     )
     repl = {(r["from_id"], r["to_id"]) for r in merge.dedupe_ways(ways, nodes).collect()}
     assert repl == {(100, 200), (300, 200)}
+
+
+def test_next_entity_id_safe_allocation(spark):
+    """Port of safe-id-allocation.test.ts: next id = true max + 1 across
+    base (+ patch), 0 when empty, negatives allocate toward zero."""
+    def nodes_of(ids):
+        if not ids:
+            return spark.createDataFrame([], fixtures.NODE_SCHEMA)
+        return spark.createDataFrame(
+            [(i, float(i % 90), float(i % 90), None) for i in ids], fixtures.NODE_SCHEMA
+        )
+
+    cases = [([], 0), ([1, 2, 3], 4), ([3, 2, 1], 4), ([1, 100, 3], 101), ([-8, -3, -5], -2)]
+    for ids, expected in cases:
+        assert merge.next_entity_id(nodes_of(ids)) == expected, ids
+
+    combos = [
+        ([], [], 0), ([], [12, 4], 13), ([8, 2], [], 9),
+        ([10], [3, 17, 5], 18), ([-8], [-12, -4], -3),
+    ]
+    for base, patch, expected in combos:
+        assert merge.next_entity_id(nodes_of(base), nodes_of(patch)) == expected, (base, patch)
