@@ -49,11 +49,35 @@ def _way_xml(row: dict) -> str:
     return f'<way id="{row["id"]}">{nds}{tags}</way>'
 
 
+def _member_fields(m) -> tuple[str, int, str]:
+    """Arrow hands array<struct> elements as dicts (or Rows); normalize."""
+    if isinstance(m, dict):
+        return str(m["type"]), int(m["ref"]), m.get("role")
+    return str(m[0]), int(m[1]), m[2]
+
+
+def _relation_xml(row: dict) -> str:
+    members = row.get("members")
+    members = [] if members is None else list(members)
+    ms = "".join(
+        f'<member type="{xml_escape(t)}" ref="{ref}" role="{xml_escape(role or "")}"/>'
+        for t, ref, role in (_member_fields(m) for m in members)
+    )
+    tags = "".join(
+        f'<tag k="{xml_escape(str(k))}" v="{xml_escape(str(v))}"/>'
+        for k, v in sorted((row.get("tags") or {}).items())
+    )
+    return f'<relation id="{row["id"]}">{ms}{tags}</relation>'
+
+
+_RENDERERS = {"node": _node_xml, "way": _way_xml, "relation": _relation_xml}
+
+
 def render_change_fragments(changes: DataFrame, entity: str = "node") -> DataFrame:
     """changes: entity columns + change_type in (create|modify|delete).
     Returns (change_type, id, xml) — one escaped XML element per change,
     rendered in parallel (Arrow batches)."""
-    render = _node_xml if entity == "node" else _way_xml
+    render = _RENDERERS[entity]
     schema = T.StructType(
         [
             T.StructField("change_type", T.StringType(), False),
@@ -75,7 +99,7 @@ def render_change_fragments(changes: DataFrame, entity: str = "node") -> DataFra
 
 
 def _stream_osc(out, node_changes: DataFrame | None, way_changes: DataFrame | None,
-                generator: str) -> None:
+                generator: str, relation_changes: DataFrame | None = None) -> None:
     """Stream an osmChange document: sections in create/modify/delete order,
     entities sorted by (type, id) inside each (osc.ts:92-160). One sorted
     toLocalIterator pass per section — driver memory O(partition), never
@@ -83,7 +107,8 @@ def _stream_osc(out, node_changes: DataFrame | None, way_changes: DataFrame | No
     out(f'<osmChange version="0.6" generator="{xml_escape(generator)}">')
     for sec in ("create", "modify", "delete"):
         opened = False
-        for df, _entity in ((node_changes, "node"), (way_changes, "way")):
+        for df, _entity in ((node_changes, "node"), (way_changes, "way"),
+                            (relation_changes, "relation")):
             if df is None:
                 continue
             frags = (
@@ -105,20 +130,22 @@ def _stream_osc(out, node_changes: DataFrame | None, way_changes: DataFrame | No
 
 def write_osc(path: str, node_changes: DataFrame | None = None,
               way_changes: DataFrame | None = None,
-              generator: str = "osmix-spark") -> None:
+              generator: str = "osmix-spark",
+              relation_changes: DataFrame | None = None) -> None:
     """Streaming osmChange file export — the scale-safe sink."""
     with open(path, "w", encoding="utf-8") as f:
-        _stream_osc(f.write, node_changes, way_changes, generator)
+        _stream_osc(f.write, node_changes, way_changes, generator, relation_changes)
 
 
 def to_osc_string(node_changes: DataFrame | None = None,
                   way_changes: DataFrame | None = None,
-                  generator: str = "osmix-spark") -> str:
+                  generator: str = "osmix-spark",
+                  relation_changes: DataFrame | None = None) -> str:
     """Deterministic osmChange document as a string (small-extract
     convenience: the string itself is O(changeset) — use write_osc for
     large exports)."""
     parts: list[str] = []
-    _stream_osc(parts.append, node_changes, way_changes, generator)
+    _stream_osc(parts.append, node_changes, way_changes, generator, relation_changes)
     return "".join(parts)
 
 
@@ -128,7 +155,7 @@ def render_augmented_fragments(changes: DataFrame, entity: str = "node") -> Data
     `old_`-prefixed columns) and `<new>` (post-image). Creates have an
     empty <old>, deletes an empty <new>. Rendered in parallel per Arrow
     batch; returns (change_type, id, xml)."""
-    render = _node_xml if entity == "node" else _way_xml
+    render = _RENDERERS[entity]
     schema = T.StructType(
         [
             T.StructField("change_type", T.StringType(), False),

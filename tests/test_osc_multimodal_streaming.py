@@ -288,3 +288,61 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert g == e and len(g) > 0
     # every event lands in exactly one session
     assert sum(r["n_events"] for r in got.collect()) == events.count()
+
+
+def test_osc_escaping_reference_cases():
+    """osc-escaping.test.ts escapeXmlAttribute cases, incl. the literal
+    entity text double-escape ('&amp;' -> '&amp;amp;') and Unicode
+    passthrough."""
+    from osmix_spark.sources.osc import xml_escape
+
+    cases = [
+        ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"),
+        ("'", "&apos;"),
+        ("&<>'\" café ☃", "&amp;&lt;&gt;&apos;&quot; café ☃"),
+        ("&amp;", "&amp;amp;"),
+    ]
+    for raw, expected in cases:
+        assert xml_escape(raw) == expected, raw
+
+
+def test_osc_relations_with_hostile_attributes(spark):
+    """osc-escaping.test.ts 'hostile tag keys, values, and relation roles':
+    a relation change with &<>'" in key, value, and member role must render
+    escaped in the document and parse back to the original strings."""
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import types as T
+
+    from osmix_spark.sources import osc
+
+    key, value, role = "key&<>'\"☃", "value&<>'\" café", "role&<>'\"東京"
+    member_t = T.StructType([
+        T.StructField("type", T.StringType()), T.StructField("ref", T.LongType()),
+        T.StructField("role", T.StringType()),
+    ])
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("members", T.ArrayType(member_t)),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("change_type", T.StringType()),
+    ])
+    rels = spark.createDataFrame(
+        [
+            (12, [("way", 11, role)], {key: value}, "create"),
+            (13, [("way", 11, role)], {key: value}, "delete"),
+        ],
+        schema,
+    )
+    doc = osc.to_osc_string(relation_changes=rels)
+    root = ET.fromstring(doc)  # escaped output must be valid XML
+    created = root.find("create/relation")
+    assert created is not None and created.attrib["id"] == "12"
+    m = created.find("member")
+    assert m.attrib == {"type": "way", "ref": "11", "role": role}
+    t = created.find("tag")
+    assert t.attrib == {"k": key, "v": value}
+    deleted = root.find("delete/relation")
+    assert deleted is not None and deleted.attrib["id"] == "13"
+    # raw document carries the escaped forms
+    assert "role&amp;&lt;&gt;&apos;&quot;東京" in doc
