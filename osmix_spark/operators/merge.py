@@ -339,6 +339,43 @@ def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     return flatten_replacements(repl)
 
 
+def explode_members(relations: DataFrame) -> DataFrame:
+    """(id, members array<struct<type,ref,role>>, ...) ->
+    (relation_id, seq, member_type, member_ref, role) — the exploded
+    convention used by the extract/resolution operators (J11/J12). The
+    inverse of collect_members."""
+    return relations.select(
+        F.col("id").alias("relation_id"), F.posexplode("members").alias("seq", "m")
+    ).select(
+        "relation_id", "seq", F.col("m.type").alias("member_type"),
+        F.col("m.ref").alias("member_ref"), F.col("m.role").alias("role"),
+    )
+
+
+def collect_members(exploded: DataFrame) -> DataFrame:
+    """(relation_id, seq, member_type, member_ref, role) -> (id, members)
+    with members restored in seq order — the array convention used by the
+    merge/dedupe/OSC operators."""
+    return (
+        exploded.groupBy(F.col("relation_id").alias("id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq", "member_type", "member_ref", "role"))
+            ).alias("s")
+        )
+        .select(
+            "id",
+            F.transform(
+                F.col("s"),
+                lambda e: F.struct(
+                    e.member_type.alias("type"), e.member_ref.alias("ref"),
+                    e.role.alias("role"),
+                ),
+            ).alias("members"),
+        )
+    )
+
+
 def next_entity_id(*frames: DataFrame, key: str = "id") -> int:
     """Safe new-id allocation (changeset.nextNodeId, pinned by the
     reference's safe-id-allocation.test.ts): 1 + the true maximum id across

@@ -374,3 +374,21 @@ def test_next_entity_id_safe_allocation(spark):
     ]
     for base, patch, expected in combos:
         assert merge.next_entity_id(nodes_of(base), nodes_of(patch)) == expected, (base, patch)
+
+
+def test_member_representation_roundtrip(spark):
+    """explode_members / collect_members bridge the two relation member
+    conventions (array-of-structs for merge/OSC, exploded rows for
+    extract/resolution) losslessly, preserving order and null roles."""
+    rels = spark.createDataFrame(
+        [
+            (1, [("node", 5, "stop"), ("way", 7, None), ("relation", 2, "sub")], None),
+            (2, [], {"type": "route"}),
+        ],
+        fixtures.RELATION_SCHEMA,
+    )
+    exploded = merge.explode_members(rels)
+    assert exploded.count() == 3  # empty-member relation contributes no rows
+    back = merge.collect_members(exploded).collect()
+    got = {r["id"]: [tuple(m) for m in r["members"]] for r in back}
+    assert got == {1: [("node", 5, "stop"), ("way", 7, None), ("relation", 2, "sub")]}
