@@ -8,10 +8,12 @@ needed:
 - JPEG: pure-NumPy baseline codec (functions/jpeg — ITU T.81 SOF0, Huffman
   + DCT, 4:4:4/4:2:0, restart markers), decoder AND encoder (fixtures).
 
-Audio/video remain clearly-marked stubs: `decode_media` raises
-NotImplementedError for them unless `fake=True`, in which case a
-deterministic stand-in (bytes -> shape + checksum "features") exercises
-the same schema, partitioning, and batch shape.
+The audio path is REAL for WAV/PCM (RIFF parse + int16 samples, stdlib
+struct only): features carry channel count, sample rate, mean and RMS
+amplitude. Compressed audio and video remain clearly-marked stubs:
+`decode_media` raises NotImplementedError for them unless `fake=True`, in
+which case a deterministic stand-in (bytes -> shape + checksum
+"features") exercises the same schema, partitioning, and batch shape.
 
 At 100 TB: binary payloads dominate bytes; the rules encoded here —
 project metadata columns WITHOUT touching the binary (column pruning keeps
@@ -149,6 +151,57 @@ def decode_png(data: bytes):
 
 
 _JPEG_MAGIC = b"\xff\xd8"
+_RIFF_MAGIC = b"RIFF"
+
+
+def decode_wav(data: bytes):
+    """Pure-stdlib WAV/PCM decoder: RIFF header + fmt/data chunks, 16-bit
+    PCM only (the uncompressed web/archival staple). Returns
+    (samples int16 ndarray of shape (n, channels), sample_rate)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != _RIFF_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    channels = rate = bits = None
+    samples = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (ln,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body = data[i + 8 : i + 8 + ln]
+        if cid == b"fmt ":
+            fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1:
+                raise NotImplementedError(f"non-PCM WAV format {fmt}")
+            if bits != 16:
+                raise NotImplementedError("16-bit PCM only")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if samples is None or channels is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Pure-stdlib 16-bit PCM WAV writer (fixture generator twin)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    body = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    return out
 
 
 def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> DataFrame:
@@ -175,6 +228,25 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
             for r in pdf.itertuples(index=False):
                 buf = bytes(r.payload)
                 h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
+                if buf[:4] == _RIFF_MAGIC:
+                    samples, rate = decode_wav(buf)
+                    flat = samples.astype(np.float64)
+                    feats = np.array(
+                        [samples.shape[1], rate, flat.mean(),
+                         np.sqrt((flat * flat).mean())],
+                        dtype=np.float32,
+                    )
+                    rows.append(
+                        {
+                            "media_id": int(r.media_id),
+                            "content_hash": h,
+                            "n_bytes": len(buf),
+                            "width": None,   # audio has no raster dims;
+                            "height": None,  # n_samples rides in features
+                            "features": feats.tolist(),
+                        }
+                    )
+                    continue
                 img = None
                 if buf[:8] == _PNG_MAGIC:
                     img = decode_png(buf)
@@ -197,9 +269,9 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "audio/video codecs not available in this "
-                        "environment (images decode for real: PNG + "
-                        "baseline JPEG); pass fake=True for the "
+                        "compressed-audio/video codecs not available in "
+                        "this environment (PNG, baseline JPEG, and WAV/PCM "
+                        "decode for real); pass fake=True for the "
                         "deterministic stand-in"
                     )
                 arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
@@ -289,6 +361,31 @@ def synth_jpeg_media(spark=None, n: int | None = None, parts: int = 4,
                 rows.append(
                     {"media_id": mid, "kind": "image", "mime": "image/jpeg",
                      "payload": _jpeg.encode_baseline(rgb, quality=75), "meta": None}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_wav_media(ids: DataFrame, n_samples: int = 256,
+                    rate: int = 8000) -> DataFrame:
+    """REAL deterministic WAV media: per id, mono 16-bit PCM with integer
+    sawtooth samples s[i] = ((i * k) % 65536) - 32768, k = (id % 97 + 3) *
+    131 — closed-form mean/RMS make the decode path oracle-checkable."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                k = (mid % 97 + 3) * 131
+                s = ((i * k) % 65536 - 32768).astype("<i2")
+                rows.append(
+                    {"media_id": mid, "kind": "audio", "mime": "audio/wav",
+                     "payload": encode_wav(s, rate), "meta": None}
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -1793,6 +1793,51 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_audio",
+    """
+    WITH g AS (SELECT doc_id AS media_id FROM documents),
+    s AS (
+      SELECT media_id, ((ii.i * ((media_id % 97 + 3) * 131)) % 65536 - 32768) AS v
+      FROM g, range(0, 256) ii(i)
+    ),
+    m AS (
+      SELECT media_id,
+             (sum(v)::DOUBLE / 256.0) AS mean_amp,
+             sqrt(sum(v * v)::DOUBLE / 256.0) AS rms
+      FROM s GROUP BY media_id
+    )
+    SELECT media_id,
+           1::INT AS channels, 8000::INT AS sample_rate,
+           round(mean_amp::REAL::DOUBLE, 3) AS mean_amp,
+           round(rms::REAL::DOUBLE, 3) AS rms
+    FROM m
+    """,
+    extra=True,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: deterministic 16-bit PCM WAVs (integer
+    sawtooth samples) are generated per document id, decoded by the
+    pure-stdlib RIFF/WAVE parser (operators/multimodal.decode_wav), and
+    channel count / sample rate / mean / RMS amplitude hash-compare against
+    the closed-form expectation. Extra tier: the image queries hold the
+    driver window; pytest pins this one (tests/test_oracle_extra.py)."""
+    from .operators import multimodal as _mm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    media = _mm.synth_wav_media(docs)
+    out = _mm.decode_media(media)
+    return out.select(
+        "media_id",
+        F.element_at("features", 1).cast("int").alias("channels"),
+        F.element_at("features", 2).cast("int").alias("sample_rate"),
+        F.round(F.element_at("features", 3).cast("double"), 3).alias("mean_amp"),
+        F.round(F.element_at("features", 4).cast("double"), 3).alias("rms"),
+    )
+
+
+@_q(
     "multimodal_resize",
     """
     WITH g AS (SELECT doc_id AS media_id FROM documents),

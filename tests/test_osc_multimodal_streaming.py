@@ -346,3 +346,48 @@ def test_osc_relations_with_hostile_attributes(spark):
     assert deleted is not None and deleted.attrib["id"] == "13"
     # raw document carries the escaped forms
     assert "role&amp;&lt;&gt;&apos;&quot;東京" in doc
+
+
+def test_wav_roundtrip_and_decode():
+    """WAV/PCM codec: encode->decode round trip (mono + stereo), word-odd
+    chunk alignment, and non-PCM rejection."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osmix_spark.operators.multimodal import decode_wav, encode_wav
+
+    mono = ((np.arange(255, dtype=np.int64) * 393) % 65536 - 32768).astype("<i2")
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and s.shape == (255, 1)  # odd byte count -> aligned
+    assert (s[:, 0] == mono).all()
+
+    stereo = np.stack([mono, -mono - 1], axis=1).astype("<i2")
+    s2, _ = decode_wav(encode_wav(stereo, 44100))
+    assert s2.shape == (255, 2) and (s2 == stereo).all()
+
+    bad = bytearray(encode_wav(mono, 8000))
+    bad[20] = 3  # fmt code: IEEE float
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+
+
+def test_decode_media_wav_features(spark):
+    """decode_media routes RIFF payloads to the WAV decoder; features =
+    [channels, rate, mean, rms] with null raster dims."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators import multimodal as mm
+
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+    out = {r["media_id"]: r for r in mm.decode_media(mm.synth_wav_media(ids)).collect()}
+    assert len(out) == 6
+    for mid, r in out.items():
+        assert r["width"] is None and r["height"] is None
+        ch, rate, mean, rms = r["features"]
+        assert ch == 1.0 and rate == 8000.0
+        k = (mid % 97 + 3) * 131
+        v = (np.arange(256, dtype=np.int64) * k) % 65536 - 32768
+        assert abs(mean - v.mean()) < 0.5
+        assert abs(rms - np.sqrt((v.astype(float) ** 2).mean())) < 0.5
