@@ -436,6 +436,123 @@ def synth_mixed_media(ids: DataFrame, size: int = 16) -> DataFrame:
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+_MJPG_MAGIC = b"MJPG"
+
+
+def encode_mjpeg(frames: list[bytes]) -> bytes:
+    """Length-prefixed MJPEG-style container: magic, frame count, then
+    (u32 length, JPEG bytes) per frame. The honest toy stand-in for a real
+    video container — the FRAMES are real baseline JPEGs, the wrapper is
+    ours (real codecs like H.264 stay out of scope in this environment)."""
+    import struct
+
+    out = bytearray(_MJPG_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return bytes(out)
+
+
+def mjpeg_frames(data: bytes) -> list[bytes]:
+    import struct
+
+    if data[:4] != _MJPG_MAGIC:
+        raise ValueError("not an MJPG container")
+    (n,) = struct.unpack("<I", data[4:8])
+    frames = []
+    i = 8
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[i : i + 4])
+        frames.append(data[i + 4 : i + 4 + ln])
+        i += 4 + ln
+    return frames
+
+
+def synth_mjpeg_media(ids: DataFrame, n_frames: int = 4, size: int = 16) -> DataFrame:
+    """Deterministic 'videos': n_frames block-constant JPEG frames per id
+    (block value = (bx*7 + by*13 + id + 31*frame) % 256) in the MJPG
+    container — per-frame pixel stats are closed-form for oracles while the
+    bytes exercise the full JPEG path per frame."""
+    from ..functions import jpeg as _jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        nb = size // 8
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                frames = []
+                for fi in range(n_frames):
+                    g = np.zeros((size, size), dtype=np.uint8)
+                    for by in range(nb):
+                        for bx in range(nb):
+                            g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                bx * 7 + by * 13 + mid + 31 * fi
+                            ) % 256
+                    frames.append(
+                        _jpeg.encode_baseline(np.stack([g, g, g], -1), quality=75)
+                    )
+                rows.append(
+                    {"media_id": mid, "kind": "video", "mime": "video/x-mjpg",
+                     "payload": encode_mjpeg(frames), "meta": None}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_luma", T.FloatType(), False),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling (the training-pipeline 'decode every Nth frame'
+    transform) over MJPG payloads: one output row per sampled frame with
+    raster dims and mean luma, Arrow-batched. Frames decode with the real
+    baseline JPEG decoder; other containers raise NotImplementedError."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import jpeg as _jpeg
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = bytes(r.payload)
+                if buf[:4] != _MJPG_MAGIC:
+                    raise NotImplementedError(
+                        "only the MJPG frame container decodes in this "
+                        "environment (real video codecs are out of scope)"
+                    )
+                frames = mjpeg_frames(buf)
+                for fi in range(0, len(frames), every_n):
+                    img = _jpeg.decode_baseline(frames[fi])
+                    rows.append(
+                        {
+                            "media_id": int(r.media_id),
+                            "frame_index": fi,
+                            "n_frames": len(frames),
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "mean_luma": np.float32(img.mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(go, schema=FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregation: MUST NOT read the payload column — the
     projection keeps binary bytes out of the scan (check ReadSchema in

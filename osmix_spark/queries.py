@@ -1838,6 +1838,45 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_video_frames",
+    """
+    WITH g AS (SELECT doc_id AS media_id FROM documents),
+    f AS (SELECT media_id, ff.fi FROM g, (VALUES (0), (2)) ff(fi)),
+    b AS (SELECT media_id, fi, bb.bx, cc.by
+          FROM f, range(0, 2) bb(bx), range(0, 2) cc(by)),
+    m AS (
+      SELECT media_id, fi,
+             sum((bx * 7 + by * 13 + media_id + 31 * fi) % 256)::DOUBLE / 4.0 AS luma
+      FROM b GROUP BY media_id, fi
+    )
+    SELECT media_id, fi::INT AS frame_index, 4::INT AS n_frames,
+           16::INT AS width, 16::INT AS height,
+           round(luma::REAL::DOUBLE, 5) AS mean_luma
+    FROM m
+    """,
+    extra=True,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: deterministic MJPG 'videos' (4 real JPEG
+    frames each), every 2nd frame decoded
+    (operators/multimodal.sample_video_frames); per-frame mean luma
+    hash-compares against the closed-form block-value expectation (frames
+    are block-constant so the JPEG round trip is exact). Extra tier —
+    pinned by tests/test_oracle_extra.py."""
+    from .operators import multimodal as _mm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    media = _mm.synth_mjpeg_media(docs, n_frames=4, size=16)
+    out = _mm.sample_video_frames(media, every_n=2)
+    return out.select(
+        "media_id", "frame_index", "n_frames", "width", "height",
+        F.round(F.col("mean_luma").cast("double"), 5).alias("mean_luma"),
+    )
+
+
+@_q(
     "multimodal_resize",
     """
     WITH g AS (SELECT doc_id AS media_id FROM documents),

@@ -391,3 +391,40 @@ def test_decode_media_wav_features(spark):
         v = (np.arange(256, dtype=np.int64) * k) % 65536 - 32768
         assert abs(mean - v.mean()) < 0.5
         assert abs(rms - np.sqrt((v.astype(float) ** 2).mean())) < 0.5
+
+
+def test_mjpeg_container_roundtrip_and_sampling(spark):
+    """MJPG container round trip + every-Nth frame sampling with real JPEG
+    frame decode; non-MJPG payloads raise (honest codec boundary)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from osmix_spark.functions import jpeg
+    from osmix_spark.operators import multimodal as mm
+
+    frames = [
+        jpeg.encode_baseline(np.full((16, 16), v, dtype=np.uint8), quality=75)
+        for v in (10, 60, 110, 160, 210)
+    ]
+    buf = mm.encode_mjpeg(frames)
+    assert mm.mjpeg_frames(buf) == frames
+
+    ids = spark.range(3).select(F.col("id").alias("media_id"))
+    media = mm.synth_mjpeg_media(ids, n_frames=4, size=16)
+    out = mm.sample_video_frames(media, every_n=2).collect()
+    assert len(out) == 6  # 3 videos x frames {0, 2}
+    for r in out:
+        assert r["n_frames"] == 4 and r["frame_index"] in (0, 2)
+        mid, fi = r["media_id"], r["frame_index"]
+        exp = np.mean([(bx * 7 + by * 13 + mid + 31 * fi) % 256
+                       for bx in range(2) for by in range(2)])
+        assert abs(r["mean_luma"] - exp) < 1e-3
+
+    bad = spark.createDataFrame(
+        [(1, "video", "video/mp4", b"\x00\x00\x00\x18ftypmp42", None)],
+        mm.MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|MJPG"):
+        mm.sample_video_frames(bad).collect()
