@@ -74,3 +74,29 @@ def read_bbox(spark: SparkSession, path: str, west: float, south: float,
     return df.filter(F.col("cell_p").isin(cells)).filter(
         geo.in_bbox(F.col(lon), F.col(lat), west, south, east, north, epsilon=0.0)
     )
+
+
+def write_bucketed(df: DataFrame, name: str, path: str, key: str = "id",
+                   n_buckets: int = 16) -> None:
+    """Bucketed table write: hash-bucket by `key` and sort within buckets.
+
+    The co-located-join layout (the reference pre-resolves way->node refs
+    at ingest, ways.ts:169-194 — its substitute for a runtime join; on
+    Spark the equivalent is bucketing both tables on the join key so the
+    sort-merge join reads matching buckets WITHOUT a shuffle exchange).
+    External table at `path`; requires saveAsTable (bucket metadata lives
+    in the session catalog)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a bucketed table by catalog name (bucket info is catalog
+    metadata — reading the bare parquet path loses it)."""
+    return spark.table(name)

@@ -126,3 +126,46 @@ def test_cell_partitioned_layout_prunes(spark, sf_dir, tmp_path):
         & (F.col("lat") >= -1.0) & (F.col("lat") <= 6.0)
     ).count()
     assert pruned.count() == expect
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key sort-merge join WITHOUT a
+    shuffle: the co-located-join layout for the workhorse way->node
+    resolution at 100 TB (pre-bucketed node and way_refs tables join
+    exchange-free; the reference's ingest-time ref resolution plays the
+    same role single-node)."""
+    from osmix_spark.sources import layout
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("id"), F.col("l_quantity").alias("qty")
+    )
+    layout.write_bucketed(part, "bk_nodes", str(tmp_path / "bk_nodes"), "id", 8)
+    layout.write_bucketed(li, "bk_refs", str(tmp_path / "bk_refs"), "id", 8)
+    try:
+        a = layout.read_bucketed(spark, "bk_nodes")
+        b = layout.read_bucketed(spark, "bk_refs")
+        # forbid broadcast so the join-strategy choice is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "id").groupBy("name").agg(F.sum("qty").alias("q"))
+            joined.collect()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert "SortMergeJoin" in plan
+        # the JOIN inputs come straight from bucketed scans: no exchange
+        # may hash-partition on the join key anywhere in the plan (the
+        # aggregation's exchange on `name` is expected and allowed)
+        assert "Exchange hashpartitioning(id" not in plan, "bucketed join still shuffled"
+        assert "SelectedBucketsCount" in plan  # bucketed scan engaged
+        # correctness unchanged vs the plain join
+        expect = part.join(li, "id").groupBy("name").agg(F.sum("qty").alias("q"))
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expect.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_nodes")
+        spark.sql("DROP TABLE IF EXISTS bk_refs")
