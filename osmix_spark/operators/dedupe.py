@@ -178,3 +178,74 @@ def embedding_near_dupes(emb: DataFrame, id_col: str = "vec_id",
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
+                         max_iters: int = 30) -> DataFrame:
+    """Duplicate-cluster labeling: connected components over candidate
+    pairs, label = MIN id reachable. Returns (id, component) for every id
+    appearing in `pairs`.
+
+    The survivor-selection step of a dedup pipeline (keep one doc per
+    near-dup cluster): iterative min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels — which
+    converges in O(diameter) rounds; near-dup clusters are shallow (pairs
+    come from shared LSH buckets), so rounds stay single-digit. Per round:
+    one join (labels x edges) + one groupBy(node) min — both keyed on node
+    id, shuffle-partitionable; loop-invariant edges are localCheckpointed
+    once and labels re-checkpointed per round (O(1)-deep plans).
+
+    The fixpoint is exactly the transitive closure's min — asserted against
+    a recursive-CTE oracle (text_dedupe_clusters)."""
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            labels.join(edges, labels.id == edges.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        merged = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
+                (F.coalesce("n_comp", "component") < F.col("component")).alias("__chg"),
+            )
+        )
+        changed = merged.filter(F.col("__chg"))
+        new_labels = merged.drop("__chg").localCheckpoint()
+        if changed.isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels
+
+
+def dedupe_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                    a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Full-corpus cluster table: every document labeled with its near-dup
+    component (singletons = their own id), cluster sizes, and the survivor
+    flag (min id per cluster survives — the conventional keep-one rule).
+    Returns (doc_id, component, cluster_size, is_survivor)."""
+    comp = connected_components(pairs, a, b)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labeled.join(sizes, "component")
+        .select(
+            id_col, "component", "cluster_size",
+            (F.col(id_col) == F.col("component")).alias("is_survivor"),
+        )
+    )

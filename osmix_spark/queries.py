@@ -1307,6 +1307,56 @@ def text_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _clusters_sql() -> str:
+    """Recursive-CTE oracle for near-dup clustering: min-reachable-label
+    over the SimHash candidate pairs (label < dst pruning is safe — the
+    component minimum is below every other member, so it always
+    propagates)."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_sh_pairs_sql()}),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.label < e.dst
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    final AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, component,
+           (count(*) OVER (PARTITION BY component))::BIGINT AS cluster_size,
+           (doc_id = component)::INT AS is_survivor
+    FROM final
+    """
+
+
+@_q("text_dedupe_clusters", _clusters_sql(), extra=True)
+def text_dedupe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the banded SimHash
+    candidate pairs (operators/dedupe.connected_components — iterative
+    min-label propagation, O(diameter) rounds), every document labeled with
+    its component, cluster sizes, and the keep-one survivor flag (min id).
+    The fixpoint is asserted equal to a transitive-closure recursive CTE.
+    Extra tier — pinned by tests/test_oracle_extra.py."""
+    from .operators import dedupe as _dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    sim = _dedupe.simhash(docs, bits=_SIMHASH_BITS)
+    pairs = _dedupe.simhash_near_dupes(sim, bits=_SIMHASH_BITS, bands=4, max_hamming=3)
+    out = _dedupe.dedupe_clusters(docs, pairs)
+    return out.select(
+        "doc_id", "component", "cluster_size",
+        F.col("is_survivor").cast("int").alias("is_survivor"),
+    )
+
+
 def _jaccard_sql() -> str:
     sig_min = ",\n             ".join(
         f"min({portable_hash64_sql('s.sh', f'mh{i}')}) AS h{i}" for i in range(8)

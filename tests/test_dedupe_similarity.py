@@ -115,3 +115,35 @@ def test_ivf_centroid_count(spark, sf_dir):
     rows = cents.collect()
     assert len(rows) <= 8 and len(rows) >= 1
     assert all(len(r["centroid"]) == 64 for r in rows)
+
+
+def test_connected_components_shapes(spark):
+    """Min-label propagation: chains, stars, cycles, and disjoint pairs all
+    converge to the min-id component; singletons (not in pairs) keep their
+    own id through dedupe_clusters."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators import dedupe
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),        # chain -> comp 1
+            (10, 11), (10, 12), (10, 13),  # star -> comp 10
+            (20, 21), (21, 22), (22, 20),  # cycle -> comp 20
+            (30, 31),                      # pair -> comp 30
+        ],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in dedupe.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 30, 31, 99]], "doc_id long")
+    out = {r["doc_id"]: (r["component"], r["cluster_size"], r["is_survivor"])
+           for r in dedupe.dedupe_clusters(docs, pairs).collect()}
+    assert out[99] == (99, 1, True)        # singleton
+    assert out[1] == (1, 4, True) and out[4] == (1, 4, False)
+    assert out[30] == (30, 2, True) and out[31] == (30, 2, False)
+    # survivor count == component count over the doc set
+    surv = sum(1 for c, s, k in out.values() if k)
+    assert surv == len({c for c, s, k in out.values()})
