@@ -147,3 +147,27 @@ def test_connected_components_shapes(spark):
     # survivor count == component count over the doc set
     surv = sum(1 for c, s, k in out.values() if k)
     assert surv == len({c for c, s, k in out.values()})
+
+
+def test_ivf_driver_training_matches_distributed(spark, sf_dir):
+    """ivf_train_centroids_driver (bounded-sample NumPy Lloyd — the 100 TB
+    path) must produce the SAME centroids as the distributed Lloyd on the
+    same corpus: identical seeds, argmin tie-breaks, mean updates, and
+    empty-cluster drops."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dist = similarity.ivf_train_centroids(emb, n_centroids=8, lloyd_iters=2)
+    drv = similarity.ivf_train_centroids_driver(emb, n_centroids=8, lloyd_iters=2)
+    d = {r["centroid_id"]: r["centroid"] for r in dist.collect()}
+    v = {r["centroid_id"]: r["centroid"] for r in drv.collect()}
+    assert set(d) == set(v)
+    for cid in d:
+        for x, y in zip(d[cid], v[cid]):
+            assert abs(x - y) < 1e-9, cid
+    # identical centroids imply an identical inverted file downstream
+    inv_d = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(emb, dist).collect()}
+    inv_v = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(emb, drv).collect()}
+    assert inv_d == inv_v
