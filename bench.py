@@ -105,6 +105,13 @@ def main() -> None:
         "embed_ann_lsh",
         "tile_raster_stats",
         "tile_way_mvt_stats",
+        # round-3 additions
+        "osm_merge_relations",
+        "osm_content_hash",
+        "text_dedupe_clusters",
+        "multimodal_audio",
+        "multimodal_video_frames",
+        "osm_route_astar",
     ]
     timings: dict[str, float] = {}
 

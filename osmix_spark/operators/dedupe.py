@@ -189,11 +189,13 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     The survivor-selection step of a dedup pipeline (keep one doc per
     near-dup cluster): iterative min-label propagation — each round every
     node takes the min of its own label and its neighbors' labels — which
-    converges in O(diameter) rounds; near-dup clusters are shallow (pairs
-    come from shared LSH buckets), so rounds stay single-digit. Per round:
-    one join (labels x edges) + one groupBy(node) min — both keyed on node
-    id, shuffle-partitionable; loop-invariant edges are localCheckpointed
-    once and labels re-checkpointed per round (O(1)-deep plans).
+    converges in O(diameter) rounds — and each round ALSO pointer-jumps
+    (component <- label(component), path compression), which halves label
+    chains and brings convergence to O(log diameter). Per round: one join
+    (labels x edges) + one groupBy(node) min + one self-join on the label
+    — all keyed on ids, shuffle-partitionable; loop-invariant edges are
+    localCheckpointed once and labels re-checkpointed per round
+    (O(1)-deep plans).
 
     The fixpoint is exactly the transitive closure's min — asserted against
     a recursive-CTE oracle (text_dedupe_clusters)."""
@@ -221,7 +223,18 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
             )
         )
         changed = merged.filter(F.col("__chg"))
-        new_labels = merged.drop("__chg").localCheckpoint()
+        stepped = merged.drop("__chg")
+        # pointer jumping: component <- label(component); labels only ever
+        # DECREASE toward the component minimum, so compression never
+        # overshoots it
+        comp_map = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("__c2")
+        )
+        new_labels = (
+            stepped.join(comp_map, "component", "left")
+            .select("id", F.coalesce("__c2", "component").alias("component"))
+            .localCheckpoint()
+        )
         if changed.isEmpty():
             labels = new_labels
             break

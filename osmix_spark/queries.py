@@ -1280,7 +1280,7 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedupe.simhash(docs, bits=_SIMHASH_BITS)
 
 
-def _sh_pairs_sql() -> str:
+def _sh_pairs_sql(max_hamming: int = 3) -> str:
     base = _simhash_sql()
     bands = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 4}) & 15 AS bv FROM sim"
@@ -1292,7 +1292,7 @@ def _sh_pairs_sql() -> str:
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
     FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
 
 
@@ -1309,11 +1309,21 @@ def text_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _clusters_sql() -> str:
     """Recursive-CTE oracle for near-dup clustering: min-reachable-label
-    over the SimHash candidate pairs (label < dst pruning is safe — the
+    over the embedding near-dup pairs (label < dst pruning is safe — the
     component minimum is below every other member, so it always
     propagates)."""
     return f"""
-    WITH RECURSIVE pairs AS MATERIALIZED ({_sh_pairs_sql()}),
+    WITH RECURSIVE v AS MATERIALIZED (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec
+      FROM embeddings
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_COS_AB}, 6) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      ) WHERE cosine >= 0.25
+    ),
     edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -1327,8 +1337,8 @@ def _clusters_sql() -> str:
     ),
     comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
     final AS (
-      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+      SELECT d.vec_id AS doc_id, coalesce(c.component, d.vec_id) AS component
+      FROM embeddings d LEFT JOIN comp c ON c.node = d.vec_id
     )
     SELECT doc_id, component,
            (count(*) OVER (PARTITION BY component))::BIGINT AS cluster_size,
@@ -1339,18 +1349,23 @@ def _clusters_sql() -> str:
 
 @_q("text_dedupe_clusters", _clusters_sql(), extra=True)
 def text_dedupe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERING: connected components over the banded SimHash
+    """Near-dup CLUSTERING: connected components over embedding near-dup
     candidate pairs (operators/dedupe.connected_components — iterative
-    min-label propagation, O(diameter) rounds), every document labeled with
-    its component, cluster sizes, and the keep-one survivor flag (min id).
-    The fixpoint is asserted equal to a transitive-closure recursive CTE.
-    Extra tier — pinned by tests/test_oracle_extra.py."""
+    min-label propagation + pointer jumping, O(log diameter) rounds),
+    every vector labeled with its component, cluster sizes, and the
+    keep-one survivor flag (min id). The fixpoint is asserted equal to a
+    transitive-closure recursive CTE. (SimHash banding over the synthetic
+    text corpus degenerates to one near-clique, so the embedding pairs —
+    real bucketed cluster structure — are the representative input; the
+    SimHash pair path itself is pinned by text_simhash_pairs.) Extra tier
+    — pinned by tests/test_oracle_extra.py."""
     from .operators import dedupe as _dedupe
 
-    docs = _t(spark, sf_dir, "documents")
-    sim = _dedupe.simhash(docs, bits=_SIMHASH_BITS)
-    pairs = _dedupe.simhash_near_dupes(sim, bits=_SIMHASH_BITS, bands=4, max_hamming=3)
-    out = _dedupe.dedupe_clusters(docs, pairs)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = _dedupe.embedding_near_dupes(emb, bucket_col="label", threshold=0.25)
+    out = _dedupe.dedupe_clusters(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
     return out.select(
         "doc_id", "component", "cluster_size",
         F.col("is_survivor").cast("int").alias("is_survivor"),
