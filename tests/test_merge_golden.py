@@ -392,3 +392,77 @@ def test_member_representation_roundtrip(spark):
     back = merge.collect_members(exploded).collect()
     got = {r["id"]: [tuple(m) for m in r["members"]] for r in back}
     assert got == {1: [("node", 5, "stop"), ("way", 7, None), ("relation", 2, "sub")]}
+
+
+def test_apply_changeset_all_entity_types(spark):
+    """Port of apply-changeset.test.ts: create/modify/delete across nodes,
+    ways, AND relations materialize the expected end state, and applying
+    the same changeset twice yields identical results (the reference
+    freezes the records and applies twice)."""
+    base_n = spark.createDataFrame(
+        [
+            (1, -120.0, 46.0, {"name": "one"}),
+            (2, -120.01, 46.01, None),
+            (3, -120.02, 46.02, None),
+        ],
+        fixtures.NODE_SCHEMA,
+    )
+    base_w = spark.createDataFrame(
+        [(10, [1, 2], {"highway": "primary"}), (11, [2, 3], {"highway": "secondary"})],
+        fixtures.WAY_SCHEMA,
+    )
+    base_r = spark.createDataFrame(
+        [
+            (100, [("node", 1, "point")], {"type": "route"}),
+            (101, [("node", 1, "point")], {"type": "route"}),
+        ],
+        fixtures.RELATION_SCHEMA,
+    )
+
+    def ct(df, rows, schema):
+        changes = spark.createDataFrame(rows, schema)
+        return merge.apply_changeset(df, changes)
+
+    node_changes = [
+        (1, -120.0, 46.0, {"name": "updated"}, "modify"),
+        (3, None, None, None, "delete"),
+        (4, -120.03, 46.03, None, "create"),
+    ]
+    way_changes = [
+        (10, [1, 2], {"highway": "tertiary"}, "modify"),
+        (11, None, None, "delete"),
+        (12, [1, 2], {"highway": "residential"}, "create"),
+    ]
+    rel_changes = [
+        (100, [("node", 1, "point")], {"type": "route", "route": "bus"}, "modify"),
+        (101, None, None, "delete"),
+        (102, [("node", 1, "point")], {"type": "route", "route": "train"}, "create"),
+    ]
+    n_schema = "id long, lon double, lat double, tags map<string,string>, change_type string"
+    w_schema = "id long, refs array<long>, tags map<string,string>, change_type string"
+    r_schema = (
+        "id long, members array<struct<type:string,ref:long,role:string>>, "
+        "tags map<string,string>, change_type string"
+    )
+
+    def apply_all():
+        return (
+            ct(base_n, node_changes, n_schema),
+            ct(base_w, way_changes, w_schema),
+            ct(base_r, rel_changes, r_schema),
+        )
+
+    for nodes, ways, rels in (apply_all(), apply_all()):  # idempotent re-apply
+        n = {r["id"]: (r["lon"], r["lat"], r["tags"]) for r in nodes.collect()}
+        assert set(n) == {1, 2, 4}
+        assert n[1] == (-120.0, 46.0, {"name": "updated"})
+        w = {r["id"]: (list(r["refs"]), r["tags"]) for r in ways.collect()}
+        assert w == {
+            10: ([1, 2], {"highway": "tertiary"}),
+            12: ([1, 2], {"highway": "residential"}),
+        }
+        rl = {r["id"]: ([tuple(m) for m in r["members"]], r["tags"]) for r in rels.collect()}
+        assert rl == {
+            100: ([("node", 1, "point")], {"type": "route", "route": "bus"}),
+            102: ([("node", 1, "point")], {"type": "route", "route": "train"}),
+        }
