@@ -336,15 +336,19 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
             elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller via sync()
                 raise _RestartMarker()
             else:
-                raise EOFError("marker inside entropy data")
+                raise ValueError("unexpected marker inside entropy data")
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
@@ -457,8 +461,14 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 comp["ac"] = tids & 0xF
                 order.append(comp)
             scan_start = i + 2 + ln
-            return _decode_scan(data, scan_start, w, h, order, qts, huff,
-                                restart_interval)
+            try:
+                return _decode_scan(data, scan_start, w, h, order, qts, huff,
+                                    restart_interval)
+            except (_RestartMarker, IndexError, KeyError) as e:
+                # internal decode-state exceptions must not escape: a restart
+                # marker with no DRI, a truncated stream, or a missing table
+                # are all "corrupt JPEG" to the caller
+                raise ValueError(f"corrupt or truncated JPEG stream: {e!r}") from e
         i += 2 + ln
     raise ValueError("no SOS marker found")
 

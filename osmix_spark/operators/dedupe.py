@@ -221,6 +221,10 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                 F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
                 (F.coalesce("n_comp", "component") < F.col("component")).alias("__chg"),
             )
+            # materialize ONCE: changed, stepped, and comp_map all derive
+            # from this frame — without the checkpoint the round's join +
+            # groupBy lineage would execute three times
+            .localCheckpoint()
         )
         changed = merged.filter(F.col("__chg"))
         stepped = merged.drop("__chg")
@@ -230,11 +234,9 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
         comp_map = stepped.select(
             F.col("id").alias("component"), F.col("component").alias("__c2")
         )
-        new_labels = (
-            stepped.join(comp_map, "component", "left")
-            .select("id", F.coalesce("__c2", "component").alias("component"))
-            .localCheckpoint()
-        )
+        new_labels = stepped.join(comp_map, "component", "left").select(
+            "id", F.coalesce("__c2", "component").alias("component")
+        ).localCheckpoint()
         if changed.isEmpty():
             labels = new_labels
             break

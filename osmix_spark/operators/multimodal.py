@@ -228,30 +228,45 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
             for r in pdf.itertuples(index=False):
                 buf = bytes(r.payload)
                 h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
-                if buf[:4] == _RIFF_MAGIC:
-                    samples, rate = decode_wav(buf)
-                    flat = samples.astype(np.float64)
-                    feats = np.array(
-                        [samples.shape[1], rate, flat.mean(),
-                         np.sqrt((flat * flat).mean())],
-                        dtype=np.float32,
-                    )
-                    rows.append(
-                        {
-                            "media_id": int(r.media_id),
-                            "content_hash": h,
-                            "n_bytes": len(buf),
-                            "width": None,   # audio has no raster dims;
-                            "height": None,  # n_samples rides in features
-                            "features": feats.tolist(),
-                        }
-                    )
-                    continue
+                # real-decoder routing: a NotImplementedError from a decoder
+                # (non-PCM WAV, progressive JPEG, ...) is a codec gap — it
+                # falls through to the stand-in under fake=True; corrupt
+                # data (ValueError) always surfaces
+                if buf[:4] == _RIFF_MAGIC and buf[8:12] == b"WAVE":
+                    try:
+                        samples, rate = decode_wav(buf)
+                    except NotImplementedError:
+                        if not fake:
+                            raise
+                        samples = None
+                    if samples is not None:
+                        flat = samples.astype(np.float64)
+                        feats = np.array(
+                            [samples.shape[1], rate, flat.mean(),
+                             np.sqrt((flat * flat).mean())],
+                            dtype=np.float32,
+                        )
+                        rows.append(
+                            {
+                                "media_id": int(r.media_id),
+                                "content_hash": h,
+                                "n_bytes": len(buf),
+                                "width": None,   # audio has no raster dims;
+                                "height": None,  # n_samples rides in features
+                                "features": feats.tolist(),
+                            }
+                        )
+                        continue
                 img = None
-                if buf[:8] == _PNG_MAGIC:
-                    img = decode_png(buf)
-                elif buf[:2] == _JPEG_MAGIC:
-                    img = _jpeg.decode_baseline(buf)
+                try:
+                    if buf[:8] == _PNG_MAGIC:
+                        img = decode_png(buf)
+                    elif buf[:2] == _JPEG_MAGIC:
+                        img = _jpeg.decode_baseline(buf)
+                except NotImplementedError:
+                    if not fake:
+                        raise
+                    img = None
                 if img is not None:
                     feats = img.reshape(-1, img.shape[2]).mean(axis=0)
                     if img.shape[2] == 3:  # implicit opaque alpha for JPEG/RGB
@@ -294,6 +309,37 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
     return media.mapInPandas(go, schema=FEATURE_SCHEMA)
 
 
+
+def _png_pixels(mid: int, size: int):
+    """The PNG fixture image: r=(x+id)%256, g=(y+id)%256, b=(x+2y+id)%256,
+    a=255 — the ONE definition the SQL oracles' closed forms mirror."""
+    import numpy as np
+
+    x = np.arange(size, dtype=np.int64)[None, :]
+    y = np.arange(size, dtype=np.int64)[:, None]
+    img = np.zeros((size, size, 4), dtype=np.uint8)
+    img[:, :, 0] = (x + mid) % 256
+    img[:, :, 1] = (y + mid) % 256
+    img[:, :, 2] = (x + 2 * y + mid) % 256
+    img[:, :, 3] = 255
+    return img
+
+
+def _gray_blocks(mid: int, size: int, offset: int = 0):
+    """The block-constant gray fixture: each 8x8 block holds
+    (bx*7 + by*13 + id + offset) % 256 — only DC coefficients, so the
+    baseline JPEG round trip is bit-exact (see functions/jpeg)."""
+    import numpy as np
+
+    img = np.zeros((size, size), dtype=np.uint8)
+    for by in range(size // 8):
+        for bx in range(size // 8):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                bx * 7 + by * 13 + mid + offset
+            ) % 256
+    return img
+
+
 def synth_png_media(spark=None, n: int | None = None, parts: int = 4,
                     size: int = 16, ids: DataFrame | None = None) -> DataFrame:
     """REAL deterministic PNG media: per id, a size x size RGBA image with
@@ -312,16 +358,9 @@ def synth_png_media(spark=None, n: int | None = None, parts: int = 4,
             rows = []
             for r in pdf.itertuples(index=False):
                 mid = int(r.media_id)
-                x = np.arange(size, dtype=np.int64)[None, :]
-                y = np.arange(size, dtype=np.int64)[:, None]
-                img = np.zeros((size, size, 4), dtype=np.uint8)
-                img[:, :, 0] = (x + mid) % 256
-                img[:, :, 1] = (y + mid) % 256
-                img[:, :, 2] = (x + 2 * y + mid) % 256
-                img[:, :, 3] = 255
                 rows.append(
                     {"media_id": mid, "kind": "image", "mime": "image/png",
-                     "payload": _write_png_rgba(img), "meta": None}
+                     "payload": _write_png_rgba(_png_pixels(mid, size)), "meta": None}
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
@@ -346,18 +385,12 @@ def synth_jpeg_media(spark=None, n: int | None = None, parts: int = 4,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        nb = size // 8
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 mid = int(r.media_id)
-                img = np.zeros((size, size), dtype=np.uint8)
-                for by in range(nb):
-                    for bx in range(nb):
-                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            bx * 7 + by * 13 + mid
-                        ) % 256
-                rgb = np.stack([img, img, img], axis=-1)
+                g = _gray_blocks(mid, size)
+                rgb = np.stack([g, g, g], axis=-1)
                 rows.append(
                     {"media_id": mid, "kind": "image", "mime": "image/jpeg",
                      "payload": _jpeg.encode_baseline(rgb, quality=75), "meta": None}
@@ -404,27 +437,14 @@ def synth_mixed_media(ids: DataFrame, size: int = 16) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        nb = size // 8
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 mid = int(r.media_id)
                 if mid % 2 == 0:
-                    x = np.arange(size, dtype=np.int64)[None, :]
-                    y = np.arange(size, dtype=np.int64)[:, None]
-                    img = np.zeros((size, size, 4), dtype=np.uint8)
-                    img[:, :, 0] = (x + mid) % 256
-                    img[:, :, 1] = (y + mid) % 256
-                    img[:, :, 2] = (x + 2 * y + mid) % 256
-                    img[:, :, 3] = 255
-                    payload, mime = _write_png_rgba(img), "image/png"
+                    payload, mime = _write_png_rgba(_png_pixels(mid, size)), "image/png"
                 else:
-                    g = np.zeros((size, size), dtype=np.uint8)
-                    for by in range(nb):
-                        for bx in range(nb):
-                            g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                                bx * 7 + by * 13 + mid
-                            ) % 256
+                    g = _gray_blocks(mid, size)
                     payload = _jpeg.encode_baseline(
                         np.stack([g, g, g], axis=-1), quality=75
                     )
@@ -478,19 +498,13 @@ def synth_mjpeg_media(ids: DataFrame, n_frames: int = 4, size: int = 16) -> Data
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        nb = size // 8
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 mid = int(r.media_id)
                 frames = []
                 for fi in range(n_frames):
-                    g = np.zeros((size, size), dtype=np.uint8)
-                    for by in range(nb):
-                        for bx in range(nb):
-                            g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                                bx * 7 + by * 13 + mid + 31 * fi
-                            ) % 256
+                    g = _gray_blocks(mid, size, offset=31 * fi)
                     frames.append(
                         _jpeg.encode_baseline(np.stack([g, g, g], -1), quality=75)
                     )

@@ -196,15 +196,22 @@ def bidirectional_distance(edges: DataFrame, source: int, target: int,
     (dist_f, dist_b, mu, meet_node); mu is None if unreachable.
     """
     spark = edges.sparkSession
-    e = edges.select("src", "dst", "w").localCheckpoint()
-    er = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    if broadcast_edges:
-        e, er = F.broadcast(e), F.broadcast(er)
 
     def init(node: int) -> DataFrame:
         return spark.createDataFrame(
             [(node, 0.0, node)], "node long, dist double, via long"
         ).localCheckpoint()
+
+    if source == target:
+        # trivial meeting at the shared endpoint — the improvement-driven mu
+        # probe below would otherwise report the best out-and-back cycle
+        d = init(source)
+        return d, d, 0.0, source
+
+    e = edges.select("src", "dst", "w").localCheckpoint()
+    er = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    if broadcast_edges:
+        e, er = F.broadcast(e), F.broadcast(er)
 
     dist_f, dist_b = init(source), init(target)
     fr_f, fr_b = dist_f, dist_b

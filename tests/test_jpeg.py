@@ -103,3 +103,46 @@ def test_mixed_media_decode(spark):
     got = next(r for r in out if r["media_id"] == 1)
     assert abs(got["features"][0] - exp) < 1e-4
     assert got["features"][3] == 255.0
+
+
+def test_corrupt_streams_raise_value_error():
+    """Truncated entropy data, stray markers, and internal decode-state
+    exceptions all surface as ValueError — never IndexError or private
+    exception types (decode_media's error contract)."""
+    img = np.full((16, 16), 40, dtype=np.uint8)
+    good = jpeg.encode_baseline(img, quality=75)
+    with pytest.raises(ValueError):
+        jpeg.decode_baseline(good[:-6])  # truncated inside entropy data
+    mangled = bytearray(good)
+    mangled[-8] = 0xFF
+    mangled[-7] = 0xC5  # stray marker mid-entropy
+    try:
+        jpeg.decode_baseline(bytes(mangled))
+    except ValueError:
+        pass  # either decodes (bytes fell in padding) or ValueError — nothing else
+    except Exception as e:  # noqa: BLE001
+        raise AssertionError(f"unexpected exception type: {type(e)}") from e
+
+
+def test_decode_media_fake_fallback_for_unknown_formats(spark):
+    """A RIFF-but-not-WAVE payload (WebP/AVI) and a non-PCM WAV must use
+    the deterministic stand-in under fake=True instead of crashing, and
+    raise NotImplementedError (not ValueError) under fake=False."""
+    import struct
+
+    from osmix_spark.operators import multimodal as mm
+
+    webp_ish = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    float_wav = bytearray(mm.encode_wav(np.zeros(16, dtype="<i2"), 8000))
+    float_wav[20] = 3  # fmt: IEEE float
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/webp", webp_ish, None),
+            (2, "audio", "audio/wav", bytes(float_wav), None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.decode_media(media, fake=True).collect()
+    assert len(out) == 2  # stand-in rows, no crash
+    with pytest.raises(Exception, match="NotImplementedError"):
+        mm.decode_media(media, fake=False).collect()

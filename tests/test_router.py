@@ -178,3 +178,14 @@ def test_astar_prunes_frontier(spark):
     d_full = full.filter(F.col("node") == 9).collect()[0]["dist"]
     d_astar = pruned.filter(F.col("node") == 9).collect()[0]["dist"]
     assert abs(d_full - d_astar) < 1e-9
+
+
+def test_bidirectional_source_equals_target(spark):
+    """source == target must report distance 0 with a single-node path, not
+    the best out-and-back cycle."""
+    e = [(0, 1, 1.0), (1, 0, 1.0)]
+    edges = spark.createDataFrame(e, "src long, dst long, w double")
+    _df, _db, mu, meet = router.bidirectional_distance(edges, 0, 0)
+    assert mu == 0.0 and meet == 0
+    path = router.route_bidirectional(edges, 0, 0).collect()
+    assert [(r["pos"], r["node"]) for r in path] == [(0, 0)]
