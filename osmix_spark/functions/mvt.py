@@ -361,12 +361,16 @@ def layer_wrap(name: str, frames: bytes, extent: int = EXTENT) -> bytes:
 
 
 def encode_line_frames_np(ids, xs, ys, lens,
-                          geom_type: int = GEOM_LINESTRING) -> bytes:
+                          geom_type: int = GEOM_LINESTRING,
+                          return_lens: bool = False):
     """Vectorized feature-frame encoder for single-part LINESTRING/POINT
     features (no tags): returns ONLY the concatenated feature frames.
 
     ids: (F,) feature ids; xs/ys: concatenated vertex coords (N,) int64;
     lens: (F,) vertex counts per feature (>= 2 for lines, == 1 for points).
+    With return_lens=True returns (bytes, per-feature frame byte lengths)
+    so a caller can slice the buffer into contiguous feature runs (the
+    partition-batched tile encode groups frames per tile this way).
     """
     import numpy as np
 
@@ -376,7 +380,7 @@ def encode_line_frames_np(ids, xs, ys, lens,
     lens = np.asarray(lens, dtype=np.int64)
     F_ = len(ids)
     if F_ == 0:
-        return b""
+        return (b"", np.zeros(0, dtype=np.int64)) if return_lens else b""
     starts = np.zeros(F_, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     # per-feature cursor-reset deltas
@@ -472,6 +476,8 @@ def encode_line_frames_np(ids, xs, ys, lens,
     scatter(fb, frame_boffs, frame_blen, dst_frame)
     scatter(hb, header_boffs, header_blen, dst_header)
     scatter(gb, geom_boffs, geom_blen, dst_geom)
+    if return_lens:
+        return out.tobytes(), frame_blen + body_blen
     return out.tobytes()
 
 
@@ -500,11 +506,13 @@ def decode_varints_np(buf: bytes):
     start_pos = np.nonzero(starts_mask)[0]
     pos_in_val = np.arange(len(b)) - start_pos[val_idx]
     vals = np.zeros(n_vals, dtype=np.uint64)
+    ok = val_idx < n_vals  # drop a trailing incomplete varint, don't crash
     np.add.at(
-        vals, val_idx,
-        (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos_in_val.astype(np.uint64)),
+        vals, val_idx[ok],
+        (b[ok] & np.uint8(0x7F)).astype(np.uint64)
+        << (np.uint64(7) * pos_in_val[ok].astype(np.uint64)),
     )
-    return vals, start_pos
+    return vals, start_pos[:n_vals] if len(start_pos) > n_vals else start_pos
 
 
 def _unzigzag_np(v):
@@ -516,12 +524,13 @@ def _unzigzag_np(v):
 
 def decode_tile_stats_np(buf: bytes) -> dict[str, dict]:
     """Decoded-vertex statistics per layer, computed from the raw bytes
-    with the vectorized varint decoder. Single-part MoveTo/LineTo
-    geometries take the fast path; anything else falls back to the scalar
-    decoder for that feature. Returns {layer: {n_features, n_vertices,
-    sum_px, sum_py, min_px, max_px, min_py, max_py, sum_ids}}."""
-    import numpy as np
-
+    with the vectorized varint decoder. Layers written by our encoders
+    (feature fields in 1,2,3,4 order, geometry last) take a fully
+    vectorized path whose only Python loop is a tight per-frame span scan;
+    anything irregular falls back to the scalar walker per layer, and
+    general (multi-part/polygon) geometries fall back per feature.
+    Returns {layer: {n_features, n_vertices, sum_px, sum_py, min_px,
+    max_px, min_py, max_py, sum_ids}}."""
     out: dict[str, dict] = {}
     i = 0
     while i < len(buf):
@@ -530,80 +539,205 @@ def decode_tile_stats_np(buf: bytes) -> dict[str, dict]:
         ln, i = _read_varint(buf, i)
         layer_buf = buf[i : i + ln]
         i += ln
-        name, ids, types, geom_spans = _walk_layer_frames(layer_buf)
-        if not ids:
-            continue
-        all_geom = b"".join(layer_buf[a:b] for a, b in geom_spans)
-        geoms = geom_spans
-        if not all_geom:  # features exist but none carry geometry
-            out[name] = {
-                "n_features": len(ids), "n_vertices": 0,
-                "sum_px": 0, "sum_py": 0,
-                "min_px": 0, "max_px": 0, "min_py": 0, "max_py": 0,
-                "sum_ids": int(np.asarray(ids, dtype=np.int64).sum()),
-            }
-            continue
-        glens = np.array([b - a for a, b in geoms], dtype=np.int64)
-        goffs = np.zeros(len(geoms), dtype=np.int64)
-        np.cumsum(glens[:-1], out=goffs[1:])
-        vals, start_pos = decode_varints_np(all_geom)
-        # per-feature first value index
-        vstarts = np.searchsorted(start_pos, goffs)
-        vcounts = np.diff(np.concatenate([vstarts, [len(vals)]]))
-        n_feats = len(ids)
-        sum_ids = int(np.asarray(ids, dtype=np.int64).sum())
-        tarr = np.asarray(types, dtype=np.int64)
-
-        # vectorized fast path: single-part MoveTo(1)[+LineTo] geometries
-        mv_ok = (vcounts >= 3) & (vals[np.minimum(vstarts, len(vals) - 1)]
-                                  == np.uint64(_CMD_MOVETO | (1 << 3)))
-        pt_ok = mv_ok & (tarr == GEOM_POINT) & (vcounts == 3)
-        c2pos = np.minimum(vstarts + 3, len(vals) - 1)
-        c2 = vals[c2pos]
-        ln_ok = (
-            mv_ok & (tarr == GEOM_LINESTRING) & (vcounts >= 6)
-            & ((c2 & np.uint64(7)) == np.uint64(_CMD_LINETO))
-            & ((vcounts - 4) % 2 == 0)
-            & ((c2 >> np.uint64(3)).astype(np.int64) == (vcounts - 4) // 2 + 1 - 1)
-        )
-        fast = pt_ok | ln_ok
-        fi_fast = np.nonzero(fast)[0]
-        xs_parts: list = []
-        ys_parts: list = []
-        if len(fi_fast):
-            n_i = np.where(tarr[fi_fast] == GEOM_POINT, 1, (vcounts[fi_fast] - 2) // 2)
-            f_of = np.repeat(np.arange(len(fi_fast)), n_i)
-            pstarts = np.zeros(len(fi_fast), dtype=np.int64)
-            np.cumsum(n_i[:-1], out=pstarts[1:])
-            k = np.arange(int(n_i.sum())) - pstarts[f_of]
-            vpos = vstarts[fi_fast][f_of] + np.where(k == 0, 1, 2 + 2 * k)
-            dx = _unzigzag_np(vals[vpos])
-            dy = _unzigzag_np(vals[vpos + 1])
-            # segmented cumsum (per-feature cursor reset)
-            cx = np.cumsum(dx)
-            cy = np.cumsum(dy)
-            corr_x = cx[pstarts] - dx[pstarts]
-            corr_y = cy[pstarts] - dy[pstarts]
-            xs_parts.append(cx - corr_x[f_of])
-            ys_parts.append(cy - corr_y[f_of])
-        for fi in np.nonzero(~fast)[0]:  # general geometry: scalar fallback
-            v = vals[vstarts[fi] : vstarts[fi] + vcounts[fi]]
-            rings = _decode_geom_ints(types[fi], [int(x) for x in v])
-            pts = [p for ring in rings for p in ring]
-            xs_parts.append(np.array([p[0] for p in pts], dtype=np.int64))
-            ys_parts.append(np.array([p[1] for p in pts], dtype=np.int64))
-        X = np.concatenate(xs_parts) if xs_parts else np.zeros(0, dtype=np.int64)
-        Y = np.concatenate(ys_parts) if ys_parts else np.zeros(0, dtype=np.int64)
-        out[name] = {
-            "n_features": n_feats, "n_vertices": int(len(X)),
-            "sum_px": int(X.sum()), "sum_py": int(Y.sum()),
-            "min_px": int(X.min()) if len(X) else 0,
-            "max_px": int(X.max()) if len(X) else 0,
-            "min_py": int(Y.min()) if len(Y) else 0,
-            "max_py": int(Y.max()) if len(Y) else 0,
-            "sum_ids": sum_ids,
-        }
+        res = _layer_stats_fast(layer_buf)
+        if res is None:
+            res = _layer_stats_scalar(layer_buf)
+        if res is not None and res[1] is not None:
+            out[res[0]] = res[1]
     return out
+
+
+def _xy_from_geoms(vals, vstarts, vcounts, tarr, np):
+    """Decoded vertex coords for features whose geometry values live in
+    `vals` at [vstarts[i], vstarts[i]+vcounts[i]). Single-part
+    MoveTo(1)[+LineTo] POINT/LINESTRING geometries are fully vectorized
+    (segmented-cumsum cursor reconstruction); anything else decodes via
+    the scalar command interpreter per feature."""
+    mv_ok = (vcounts >= 3) & (vals[np.minimum(vstarts, len(vals) - 1)]
+                              == np.uint64(_CMD_MOVETO | (1 << 3)))
+    pt_ok = mv_ok & (tarr == GEOM_POINT) & (vcounts == 3)
+    c2pos = np.minimum(vstarts + 3, len(vals) - 1)
+    c2 = vals[c2pos]
+    ln_ok = (
+        mv_ok & (tarr == GEOM_LINESTRING) & (vcounts >= 6)
+        & ((c2 & np.uint64(7)) == np.uint64(_CMD_LINETO))
+        & ((vcounts - 4) % 2 == 0)
+        & ((c2 >> np.uint64(3)).astype(np.int64) == (vcounts - 4) // 2 + 1 - 1)
+    )
+    fast = pt_ok | ln_ok
+    fi_fast = np.nonzero(fast)[0]
+    xs_parts: list = []
+    ys_parts: list = []
+    if len(fi_fast):
+        n_i = np.where(tarr[fi_fast] == GEOM_POINT, 1, (vcounts[fi_fast] - 2) // 2)
+        f_of = np.repeat(np.arange(len(fi_fast)), n_i)
+        pstarts = np.zeros(len(fi_fast), dtype=np.int64)
+        np.cumsum(n_i[:-1], out=pstarts[1:])
+        k = np.arange(int(n_i.sum())) - pstarts[f_of]
+        vpos = vstarts[fi_fast][f_of] + np.where(k == 0, 1, 2 + 2 * k)
+        dx = _unzigzag_np(vals[vpos])
+        dy = _unzigzag_np(vals[vpos + 1])
+        # segmented cumsum (per-feature cursor reset)
+        cx = np.cumsum(dx)
+        cy = np.cumsum(dy)
+        corr_x = cx[pstarts] - dx[pstarts]
+        corr_y = cy[pstarts] - dy[pstarts]
+        xs_parts.append(cx - corr_x[f_of])
+        ys_parts.append(cy - corr_y[f_of])
+    for fi in np.nonzero(~fast)[0]:  # general geometry: scalar fallback
+        v = vals[vstarts[fi] : vstarts[fi] + vcounts[fi]]
+        rings = _decode_geom_ints(int(tarr[fi]), [int(x) for x in v])
+        pts = [p for ring in rings for p in ring]
+        xs_parts.append(np.array([p[0] for p in pts], dtype=np.int64))
+        ys_parts.append(np.array([p[1] for p in pts], dtype=np.int64))
+    X = np.concatenate(xs_parts) if xs_parts else np.zeros(0, dtype=np.int64)
+    Y = np.concatenate(ys_parts) if ys_parts else np.zeros(0, dtype=np.int64)
+    return X, Y
+
+
+def _stats_dict(ids_sum: int, n_feats: int, X, Y) -> dict:
+    return {
+        "n_features": n_feats, "n_vertices": int(len(X)),
+        "sum_px": int(X.sum()), "sum_py": int(Y.sum()),
+        "min_px": int(X.min()) if len(X) else 0,
+        "max_px": int(X.max()) if len(X) else 0,
+        "min_py": int(Y.min()) if len(Y) else 0,
+        "max_py": int(Y.max()) if len(Y) else 0,
+        "sum_ids": ids_sum,
+    }
+
+
+def _frame_spans(data: bytes):
+    """Top-level layer scan collecting feature-frame byte spans WITHOUT
+    parsing frame bodies — the per-feature Python cost is ~6 ops (the
+    body parse is vectorized downstream). Returns (name, tag_starts,
+    body_starts, body_ends)."""
+    n = len(data)
+    i = 0
+    name = ""
+    tag_starts: list[int] = []
+    body_starts: list[int] = []
+    body_ends: list[int] = []
+    rv = _read_varint
+    while i < n:
+        t0 = i
+        tag = data[i]
+        if tag < 0x80:
+            i += 1
+        else:
+            tag, i = rv(data, i)
+        if tag & 7 == 2:
+            ln = data[i]
+            if ln < 0x80:
+                i += 1
+            else:
+                ln, i = rv(data, i)
+            field = tag >> 3
+            if field == 2:
+                tag_starts.append(t0)
+                body_starts.append(i)
+                body_ends.append(i + ln)
+            elif field == 1:
+                name = data[i : i + ln].decode("utf-8")
+            i += ln
+        else:
+            _, i = rv(data, i)
+    return name, tag_starts, body_starts, body_ends
+
+
+def _layer_stats_fast(layer_buf: bytes):
+    """Vectorized layer stats. The frames region (frame headers + bodies)
+    is one contiguous pure-varint byte stream — feature ids, tag indices,
+    type, and geometry commands are all varints; strings live in the
+    layer's key/value tables outside it — so ONE decode_varints_np pass
+    plus a byte->value-index gather parses every feature header at once.
+    Returns (name, stats|None) or None to request the scalar fallback."""
+    import numpy as np
+
+    name, tag_starts, body_starts, body_ends = _frame_spans(layer_buf)
+    if not tag_starts:
+        return (name, None) if name else None
+    ts = np.asarray(tag_starts, dtype=np.int64)
+    bs = np.asarray(body_starts, dtype=np.int64)
+    be = np.asarray(body_ends, dtype=np.int64)
+    # frames must be back-to-back for the single flat varint decode
+    if len(ts) > 1 and not bool((ts[1:] == be[:-1]).all()):
+        return None
+    off = int(ts[0])
+    region_len = int(be[-1]) - off
+    region = layer_buf[off : off + region_len]
+    vals, start_pos = decode_varints_np(region)
+    nv = len(vals)
+    # byte offset -> value index (sentinel nv at region end; -1 elsewhere)
+    b2v = np.full(region_len + 1, -1, dtype=np.int64)
+    b2v[start_pos] = np.arange(nv, dtype=np.int64)
+    b2v[region_len] = nv
+    pad = 8
+    vals_p = np.concatenate([vals, np.zeros(pad, dtype=np.uint64)])
+    sp_p = np.concatenate(
+        [start_pos, np.full(pad, region_len, dtype=np.int64)]
+    )
+    top = nv + pad - 1
+
+    def gat(idx):
+        return vals_p[np.minimum(idx, top)]
+
+    def spat(idx):
+        return sp_p[np.minimum(idx, top)]
+
+    v = b2v[bs - off]
+    ok = v >= 0
+    # field 1 (id), optional
+    has_id = gat(v) == 8
+    ids = np.where(has_id, gat(v + 1), 0).astype(np.int64)
+    v = v + 2 * has_id
+    # field 2 (tags), optional packed-varint payload: skip by byte length
+    has_tags = gat(v) == 18
+    tag_end_byte = np.clip(spat(v + 2) + gat(v + 1).astype(np.int64), 0, region_len)
+    v = np.where(has_tags, b2v[tag_end_byte], v)
+    ok &= v >= 0
+    # field 3 (type), required
+    ok &= gat(v) == 24
+    types_arr = gat(v + 1).astype(np.int64)
+    # field 4 (geometry), required last field of the body in our encoders
+    ok &= gat(v + 2) == 34
+    glen = gat(v + 3).astype(np.int64)
+    geom_end_byte = spat(v + 4) + glen
+    ok &= geom_end_byte == be - off  # geometry closes the body exactly
+    geom_end_v = b2v[np.clip(geom_end_byte, 0, region_len)]
+    vstarts = v + 4
+    vcounts = geom_end_v - vstarts
+    ok &= (geom_end_v >= 0) & (vcounts >= 0)
+    if not bool(ok.all()):
+        return None  # irregular frame layout: scalar fallback
+    X, Y = _xy_from_geoms(vals, vstarts, vcounts, types_arr, np)
+    return name, _stats_dict(int(ids.sum()), len(ids), X, Y)
+
+
+def _layer_stats_scalar(layer_buf: bytes):
+    """Scalar-walk layer stats (fallback for irregular layers)."""
+    import numpy as np
+
+    name, ids, types, geom_spans = _walk_layer_frames(layer_buf)
+    if not ids:
+        return (name, None) if name else None
+    all_geom = b"".join(layer_buf[a:b] for a, b in geom_spans)
+    if not all_geom:  # features exist but none carry geometry
+        Z = np.zeros(0, dtype=np.int64)
+        return name, _stats_dict(
+            int(np.asarray(ids, dtype=np.int64).sum()), len(ids), Z, Z
+        )
+    glens = np.array([b - a for a, b in geom_spans], dtype=np.int64)
+    goffs = np.zeros(len(geom_spans), dtype=np.int64)
+    np.cumsum(glens[:-1], out=goffs[1:])
+    vals, start_pos = decode_varints_np(all_geom)
+    vstarts = np.searchsorted(start_pos, goffs)
+    vcounts = np.diff(np.concatenate([vstarts, [len(vals)]]))
+    tarr = np.asarray(types, dtype=np.int64)
+    X, Y = _xy_from_geoms(vals, vstarts, vcounts, tarr, np)
+    return name, _stats_dict(
+        int(np.asarray(ids, dtype=np.int64).sum()), len(ids), X, Y
+    )
 
 
 def _walk_layer_frames(data: bytes):

@@ -123,48 +123,100 @@ def encode_point_mvt(points_px: DataFrame, layer: str = "points",
 
 
 def encode_way_mvt(ways_px: DataFrame, layer: str = "ways",
-                   id_block: int = 8192) -> DataFrame:
+                   id_block: int = 32768) -> DataFrame:
     """ways_px: (z, tx, ty, way_id, pxs array<int>, pys array<int>) — one row
     per (way, covering tile) with extent-space vertex arrays (may extend
     past the tile edge into the 64 px buffer; clipping to extent+buffer is
     done here).
 
     TWO-STAGE parallel encode: protobuf feature frames are independent
-    length-delimited submessages, so stage 1 encodes fixed id-range blocks
-    of each tile in parallel (groupBy (tile, way_id // id_block)) and
+    length-delimited submessages, so stage 1 hash-distributes fixed
+    id-range blocks of each tile ((tile, way_id div id_block) keys) and
     stage 2 concatenates block frames in id order and wraps the layer —
     bytes identical to a single sorted pass, but the parallelism is
     #tiles x #blocks instead of #tiles (dense tiles stop being stragglers).
-    """
+
+    Stage 1 is partition-batched, not per-group: the vertex arrays are
+    posexploded map-side so the exchange carries flat int columns (no
+    nested Arrow lists), the repartition count is pinned to
+    defaultParallelism (AQE would coalesce this small-by-bytes but
+    CPU-heavy Python stage into 1-2 tasks and serialize it), and each
+    partition encodes ALL its groups in one vectorized pass — a single
+    encode_line_frames_np call sliced per group by per-feature frame byte
+    lengths — instead of paying per-group pandas overhead."""
     lo, hi = -mvt.BUFFER_PX, mvt.EXTENT + mvt.BUFFER_PX
 
-    def encode_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        z, tx, ty, blk = int(key[0]), int(key[1]), int(key[2]), int(key[3])
-        pdf = pdf.sort_values("way_id")
-        # vectorized batch path: clamp -> cleanCoords (consecutive-dup drop,
-        # change/src/utils.ts:86-98) -> drop degenerate features -> encode;
-        # bytes identical to the scalar encoder (property-tested)
-        ids0 = pdf["way_id"].to_numpy(dtype=np.int64)
-        lens0 = np.fromiter((len(a) for a in pdf["pxs"]), dtype=np.int64,
-                            count=len(ids0))
-        X = np.clip(np.concatenate(pdf["pxs"].to_list()).astype(np.int64), lo, hi)
-        Y = np.clip(np.concatenate(pdf["pys"].to_list()).astype(np.int64), lo, hi)
-        starts = np.zeros(len(ids0), dtype=np.int64)
-        np.cumsum(lens0[:-1], out=starts[1:])
+        pdfs = [p for p in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
+        z = pdf["z"].to_numpy(dtype=np.int64)
+        tx = pdf["tx"].to_numpy(dtype=np.int64)
+        ty = pdf["ty"].to_numpy(dtype=np.int64)
+        blk = pdf["__blk"].to_numpy(dtype=np.int64)
+        wid = pdf["way_id"].to_numpy(dtype=np.int64)
+        seq = pdf["seq"].to_numpy(dtype=np.int64)
+        X = np.clip(pdf["px"].to_numpy(dtype=np.int64), lo, hi)
+        Y = np.clip(pdf["py"].to_numpy(dtype=np.int64), lo, hi)
+        # total order: (tile, blk, way, vertex seq) — group/feature runs
+        # become contiguous and bytes are parallelism-independent
+        order = np.lexsort((seq, wid, blk, ty, tx, z))
+        z, tx, ty, blk, wid = z[order], tx[order], ty[order], blk[order], wid[order]
+        X, Y = X[order], Y[order]
+        # feature boundaries: (tile, way) change — blk is a function of way
+        newf = np.ones(len(wid), dtype=bool)
+        newf[1:] = (
+            (wid[1:] != wid[:-1]) | (tx[1:] != tx[:-1])
+            | (ty[1:] != ty[:-1]) | (z[1:] != z[:-1])
+        )
+        # cleanCoords: consecutive-dup vertex drop within each feature
+        # (change/src/utils.ts:86-98), then drop degenerate (<2 pt) features
         keep = np.ones(len(X), dtype=bool)
         keep[1:] = (X[1:] != X[:-1]) | (Y[1:] != Y[:-1])
-        keep[starts] = True
-        f_of = np.repeat(np.arange(len(ids0)), lens0)
-        klens = np.bincount(f_of[keep], minlength=len(ids0))
+        keep |= newf
+        fidx = np.cumsum(newf) - 1
+        n_f = int(fidx[-1]) + 1
+        klens = np.bincount(fidx[keep], minlength=n_f)
+        fstarts = np.nonzero(newf)[0]
         sel = klens >= 2
-        vkeep = keep & sel[f_of]
-        ids, lens = ids0[sel], klens[sel]
-        frames = mvt.encode_line_frames_np(ids, X[vkeep], Y[vkeep], lens)
-        return pd.DataFrame(
-            [{"z": z, "tx": tx, "ty": ty, "blk": blk,
-              "n": int(len(ids)), "frames": frames}]
+        vkeep = keep & sel[fidx]
+        ids = wid[fstarts][sel]
+        if not len(ids):
+            return
+        lens = klens[sel]
+        fz, ftx, fty, fblk = (
+            z[fstarts][sel], tx[fstarts][sel], ty[fstarts][sel], blk[fstarts][sel]
+        )
+        frames, flens = mvt.encode_line_frames_np(
+            ids, X[vkeep], Y[vkeep], lens, return_lens=True
+        )
+        # slice the frame buffer per (tile, blk) group
+        newg = np.ones(len(ids), dtype=bool)
+        newg[1:] = (
+            (ftx[1:] != ftx[:-1]) | (fty[1:] != fty[:-1])
+            | (fblk[1:] != fblk[:-1]) | (fz[1:] != fz[:-1])
+        )
+        gstarts = np.nonzero(newg)[0]
+        g_blen = np.add.reduceat(flens, gstarts)
+        g_n = np.add.reduceat(np.ones(len(ids), dtype=np.int64), gstarts)
+        boffs = np.zeros(len(gstarts), dtype=np.int64)
+        np.cumsum(g_blen[:-1], out=boffs[1:])
+        buf = memoryview(frames)
+        yield pd.DataFrame(
+            {
+                "z": fz[gstarts].astype("int32"),
+                "tx": ftx[gstarts], "ty": fty[gstarts], "blk": fblk[gstarts],
+                "n": g_n.astype("int32"),
+                "frames": [
+                    bytes(buf[int(o) : int(o + l)])
+                    for o, l in zip(boffs, g_blen)
+                ],
+            }
         )
 
     def merge_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -180,14 +232,214 @@ def encode_way_mvt(ways_px: DataFrame, layer: str = "ways",
               "size_bytes": len(buf), "content_hash": h, "tile": buf}]
         )
 
-    blocks = ways_px.withColumn(
-        # integer div: exact for ids above 2^53 (double floor-division isn't)
-        "__blk", F.expr(f"way_id div {id_block}")
+    flat = (
+        ways_px.withColumn(
+            # integer div: exact for ids above 2^53 (double floor-division isn't)
+            "__blk", F.expr(f"way_id div {id_block}")
+        )
+        .select(
+            "z", "tx", "ty", "__blk", "way_id",
+            F.posexplode(F.arrays_zip("pxs", "pys")).alias("seq", "pp"),
+        )
+        .select(
+            "z", "tx", "ty", "__blk", "way_id", "seq",
+            F.col("pp.pxs").alias("px"), F.col("pp.pys").alias("py"),
+        )
     )
-    stage1 = blocks.groupBy("z", "tx", "ty", "__blk").applyInPandas(
-        encode_block, schema="z int, tx long, ty long, blk long, n int, frames binary"
+    par = ways_px.sparkSession.sparkContext.defaultParallelism
+    stage1 = flat.repartition(par, "z", "tx", "ty", "__blk").mapInPandas(
+        encode_partition,
+        schema="z int, tx long, ty long, blk long, n int, frames binary",
     )
     return stage1.groupBy("z", "tx", "ty").applyInPandas(merge_tile, schema=MVT_SCHEMA)
+
+
+def encode_way_mvt_vertices(verts: DataFrame, z: int, layer: str = "ways",
+                            id_block: int = 8192,
+                            extent: int = mvt.EXTENT) -> DataFrame:
+    """Vertex-direct line-tile pipeline: verts(way_id, s1, s2, lon, lat) —
+    one row per way vertex, vertex order within a way ascending (s1, s2) —
+    straight to the materialized tile table. Bytes identical to
+    way_tile_px -> encode_way_mvt (same projection, rounding, clamping,
+    cleanCoords, frame codec; property-tested equal).
+
+    Why this shape: the JVM->Arrow boundary costs ~1 cell/µs, so the
+    dominant cost of the array-explode pipeline is shipping the exploded
+    (way x tile) vertex arrays into Python (~60M cells at sf0.1). Here
+    the JVM does only what it is uniquely good at — scan, broadcast join,
+    the trig projection (bit-parity with the SQL oracle), ONE 5-column
+    shuffle of un-exploded vertices hashed on `way_id div id_block` —
+    and the bounded tile explode + round + varint encode run vectorized
+    inside Arrow-batched Python, emitting one frames blob per
+    (tile, id-block) (~#tiles x #blocks rows, KB-scale Arrow traffic).
+    Parallelism is pinned to defaultParallelism: AQE would coalesce this
+    small-by-bytes, CPU-heavy stage into 1-2 tasks and serialize it.
+
+    Reference: vt/encode.ts:22-31,59-260; geo/src/tile.ts:53-79."""
+    lo, hi = -mvt.BUFFER_PX, extent + mvt.BUFFER_PX
+    zz = int(z)
+    ext = int(extent)
+    zc = F.lit(zz)
+    proj = verts.select(
+        "way_id", "s1", "s2",
+        geo.tile_x_fraction(F.col("lon"), zc).alias("xf"),
+        geo.tile_y_fraction(F.col("lat"), zc).alias("yf"),
+    )
+    par = verts.sparkSession.sparkContext.defaultParallelism
+    dist = proj.repartition(par, F.expr(f"way_id div {id_block}"))
+
+    def encode_verts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def rhu(v):
+            # round half away from zero == Spark F.round(double); the +0.5
+            # add is IEEE-exact for |v| < 2^52 so the two agree bit-for-bit
+            return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+        pdfs = [p for p in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
+        wid = pdf["way_id"].to_numpy(dtype=np.int64)
+        s1 = pdf["s1"].to_numpy()
+        s2 = pdf["s2"].to_numpy()
+        xf = pdf["xf"].to_numpy(dtype=np.float64)
+        yf = pdf["yf"].to_numpy(dtype=np.float64)
+        order = np.lexsort((s2, s1, wid))
+        wid, xf, yf = wid[order], xf[order], yf[order]
+        nv = len(wid)
+        neww = np.ones(nv, dtype=bool)
+        neww[1:] = wid[1:] != wid[:-1]
+        wstart = np.nonzero(neww)[0]
+        nw = len(wstart)
+        wlen = np.diff(np.concatenate([wstart, [nv]]))
+        # per-way covering-tile ranges (bboxToTileRange, geo/src/tile.ts:66-79)
+        tx0 = np.floor(np.minimum.reduceat(xf, wstart)).astype(np.int64)
+        tx1 = np.floor(np.maximum.reduceat(xf, wstart)).astype(np.int64)
+        ty0 = np.floor(np.minimum.reduceat(yf, wstart)).astype(np.int64)
+        ty1 = np.floor(np.maximum.reduceat(yf, wstart)).astype(np.int64)
+        ntx = tx1 - tx0 + 1
+        nf_w = ntx * (ty1 - ty0 + 1)
+        n_feat = int(nf_w.sum())
+        # one feature per (way, covering tile)
+        w_of = np.repeat(np.arange(nw), nf_w)
+        f0 = np.zeros(nw, dtype=np.int64)
+        np.cumsum(nf_w[:-1], out=f0[1:])
+        k = np.arange(n_feat) - f0[w_of]
+        ftx = tx0[w_of] + k % ntx[w_of]
+        fty = ty0[w_of] + k // ntx[w_of]
+        fway = wid[wstart][w_of]
+        # frame order inside each (tile, block) blob: way ascending; block
+        # runs are contiguous because blk is way div id_block
+        forder = np.lexsort((fway, fty, ftx))
+        ftx, fty, fway, w_of = ftx[forder], fty[forder], fway[forder], w_of[forder]
+        fblk = fway // id_block
+        flen = wlen[w_of]
+        tot = int(flen.sum())
+        v0 = np.zeros(n_feat, dtype=np.int64)
+        np.cumsum(flen[:-1], out=v0[1:])
+        f_of_v = np.repeat(np.arange(n_feat), flen)
+        within = np.arange(tot) - v0[f_of_v]
+        src = wstart[w_of][f_of_v] + within
+        X = np.clip(
+            rhu((xf[src] - ftx[f_of_v]) * ext).astype(np.int64), lo, hi
+        )
+        Y = np.clip(
+            rhu((yf[src] - fty[f_of_v]) * ext).astype(np.int64), lo, hi
+        )
+        # cleanCoords + degenerate drop (change/src/utils.ts:86-98)
+        newf = np.zeros(tot, dtype=bool)
+        newf[v0] = True
+        keep = np.ones(tot, dtype=bool)
+        keep[1:] = (X[1:] != X[:-1]) | (Y[1:] != Y[:-1])
+        keep |= newf
+        klens = np.bincount(f_of_v[keep], minlength=n_feat)
+        sel = klens >= 2
+        vkeep = keep & sel[f_of_v]
+        ids = fway[sel]
+        if not len(ids):
+            return
+        frames, flens_b = mvt.encode_line_frames_np(
+            ids, X[vkeep], Y[vkeep], klens[sel], return_lens=True
+        )
+        gtx, gty, gblk = ftx[sel], fty[sel], fblk[sel]
+        newg = np.ones(len(ids), dtype=bool)
+        newg[1:] = (
+            (gtx[1:] != gtx[:-1]) | (gty[1:] != gty[:-1]) | (gblk[1:] != gblk[:-1])
+        )
+        gstarts = np.nonzero(newg)[0]
+        g_blen = np.add.reduceat(flens_b, gstarts)
+        g_n = np.add.reduceat(np.ones(len(ids), dtype=np.int64), gstarts)
+        boffs = np.zeros(len(gstarts), dtype=np.int64)
+        np.cumsum(g_blen[:-1], out=boffs[1:])
+        buf = memoryview(frames)
+        yield pd.DataFrame(
+            {
+                "z": np.full(len(gstarts), zz, dtype="int32"),
+                "tx": gtx[gstarts], "ty": gty[gstarts], "blk": gblk[gstarts],
+                "n": g_n.astype("int32"),
+                "frames": [
+                    bytes(buf[int(o) : int(o + l)])
+                    for o, l in zip(boffs, g_blen)
+                ],
+            }
+        )
+
+    stage1 = dist.mapInPandas(
+        encode_verts,
+        schema="z int, tx long, ty long, blk long, n int, frames binary",
+    )
+    return merge_way_frames(stage1, layer)
+
+
+def merge_way_frames(stage1: DataFrame, layer: str = "ways") -> DataFrame:
+    """Concatenate per-(tile, block) frame blobs in block order and wrap
+    the layer — the stage-2 half of the two-stage parallel encode.
+    Partition-batched mapInPandas on an explicit-count repartition (AQE
+    would serialize the tiny-by-bytes merge + the downstream decode)."""
+
+    def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        pdfs = [p for p in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(["z", "tx", "ty", "blk"], ignore_index=True)
+        rows = []
+        gkeys = pdf[["z", "tx", "ty"]].to_numpy()
+        start = 0
+        n_rows = len(pdf)
+        frames_col = pdf["frames"]
+        n_col = pdf["n"]
+        for i in range(1, n_rows + 1):
+            if i < n_rows and (gkeys[i] == gkeys[start]).all():
+                continue
+            frames = b"".join(bytes(b) for b in frames_col.iloc[start:i])
+            buf = mvt._len_delim(3, mvt.layer_wrap(layer, frames))
+            h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
+            rows.append(
+                {
+                    "z": int(gkeys[start][0]), "tx": int(gkeys[start][1]),
+                    "ty": int(gkeys[start][2]),
+                    "n_features": int(n_col.iloc[start:i].sum()),
+                    "size_bytes": len(buf), "content_hash": h, "tile": buf,
+                }
+            )
+            start = i
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MVT_SCHEMA.fields]
+            )
+
+    par = stage1.sparkSession.sparkContext.defaultParallelism
+    return stage1.repartition(par, "z", "tx", "ty").mapInPandas(
+        merge_partition, schema=MVT_SCHEMA
+    )
 
 
 def _shoelace_px(pts: list[tuple[int, int]]) -> float:
@@ -799,8 +1051,19 @@ def way_tile_px(ways: DataFrame, nodes: DataFrame, z: int,
     """
     refs = ways.select(F.col("id").alias("way_id"),
                        F.posexplode("refs").alias("seq", "ref"))
+    verts = refs.join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref")
+    return way_vertices_tile_px(verts, z, extent)
+
+
+def way_vertices_tile_px(verts: DataFrame, z: int,
+                         extent: int = mvt.EXTENT) -> DataFrame:
+    """Vertex-level entry to the way tile pipeline: verts(way_id, seq,
+    lon, lat) with any orderable `seq` (int or struct). One groupBy
+    collects the ordered coord arrays — callers whose data is already
+    per-vertex (e.g. a resolved way->node join) skip way_tile_px's
+    ref re-explode and its second collect_list pass."""
     coords = (
-        refs.join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref")
+        verts
         .groupBy("way_id")
         .agg(F.array_sort(F.collect_list(F.struct("seq", "lon", "lat"))).alias("s"))
         .select("way_id", F.col("s.lon").alias("lons"), F.col("s.lat").alias("lats"))

@@ -3382,17 +3382,23 @@ def tile_way_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import tiles as tiles_op
 
     # deterministic ref order at any parallelism: sort by (linenumber,
-    # partkey) — l_linenumber is NOT unique per order in this testdata
-    refs = _t(spark, sf_dir, "lineitem").groupBy(
-        F.col("l_orderkey").alias("id")
-    ).agg(
-        F.array_sort(
-            F.collect_list(F.struct("l_linenumber", "l_partkey"))
-        ).getField("l_partkey").alias("refs")
-    )
+    # partkey) — l_linenumber is NOT unique per order in this testdata.
+    # The J1 way->node resolution is the lineitem->part equi-join; the
+    # vertex-direct encoder then does the tile explode inside the Arrow
+    # boundary (see encode_way_mvt_vertices for why: the JVM->Python cell
+    # rate, not the varint math, dominates the exploded-array pipeline).
     nodes = _part_points(spark, sf_dir).select(
         F.col("p_partkey").alias("id"), "lon", "lat"
     )
-    px = tiles_op.way_tile_px(refs, nodes, z=12)
-    tiles = tiles_op.encode_way_mvt(px)
+    verts = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("way_id"),
+            F.col("l_linenumber").alias("s1"),
+            F.col("l_partkey").alias("s2"),
+            F.col("l_partkey").alias("ref"),
+        )
+        .join(F.broadcast(nodes.withColumnRenamed("id", "ref")), "ref")
+    )
+    tiles = tiles_op.encode_way_mvt_vertices(verts, z=12)
     return tiles_op.mvt_decoded_stats(tiles, layer="ways")

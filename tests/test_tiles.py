@@ -230,6 +230,51 @@ def test_way_tile_px_spans_tiles(spark):
     assert len(enc) == 2 and all(r["n_features"] == 1 for r in enc)
 
 
+def test_vertex_direct_way_encode_bytes_identical(spark):
+    """encode_way_mvt_vertices (tile explode inside the Arrow boundary)
+    must produce byte-identical tiles to way_tile_px -> encode_way_mvt
+    (JVM array explode), including the projection rounding and
+    cleanCoords/degenerate handling — the two are interchangeable."""
+    import pyspark.sql.functions as F
+
+    from osmix_spark import queries as q
+
+    sf_dir = "/root/testdata/sf0.001"
+    refs = q._t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("id")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_partkey"))
+        ).getField("l_partkey").alias("refs")
+    )
+    nodes = q._part_points(spark, sf_dir).select(
+        F.col("p_partkey").alias("id"), "lon", "lat"
+    )
+    old = {
+        (r["z"], r["tx"], r["ty"]): (bytes(r["tile"]), r["n_features"])
+        for r in tiles.encode_way_mvt(
+            tiles.way_tile_px(refs, nodes, z=12), id_block=8192
+        ).collect()
+    }
+    verts = (
+        q._t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("way_id"),
+            F.col("l_linenumber").alias("s1"),
+            F.col("l_partkey").alias("s2"),
+            F.col("l_partkey").alias("ref"),
+        )
+        .join(F.broadcast(nodes.withColumnRenamed("id", "ref")), "ref")
+    )
+    new = {
+        (r["z"], r["tx"], r["ty"]): (bytes(r["tile"]), r["n_features"])
+        for r in tiles.encode_way_mvt_vertices(verts, z=12).collect()
+    }
+    assert set(old) == set(new) and len(old) > 0
+    for k in old:
+        assert old[k] == new[k]
+
+
 def test_ring_tile_px_replicates_holes(spark):
     rings = spark.createDataFrame(
         [(100, 0, "outer", [-10.0, 10.0, 10.0, -10.0, -10.0],
