@@ -399,8 +399,17 @@ def decode_baseline(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG -> (H, W, 3) RGB uint8 (grayscale replicated).
 
     Supports SOF0, 8-bit, 1 or 3 components, sampling factors 1-2, restart
-    intervals, multi-table DQT/DHT segments. Progressive (SOF2) and
-    arithmetic coding raise NotImplementedError."""
+    intervals, multi-table DQT/DHT segments, 0xFF fill bytes between
+    markers (T.81 B.1.1.2). Progressive (SOF2) and arithmetic coding raise
+    NotImplementedError; any malformed/truncated stream raises ValueError
+    (the decode_media contract), never a raw struct/Index/Overflow error."""
+    try:
+        return _decode_baseline(data)
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"corrupt or truncated JPEG stream: {e!r}") from e
+
+
+def _decode_baseline(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, np.ndarray] = {}
@@ -412,6 +421,8 @@ def decode_baseline(data: bytes) -> np.ndarray:
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError("bad marker sync")
+        while data[i + 1] == 0xFF:
+            i += 1  # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -464,7 +475,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
             try:
                 return _decode_scan(data, scan_start, w, h, order, qts, huff,
                                     restart_interval)
-            except (_RestartMarker, IndexError, KeyError) as e:
+            except (_RestartMarker, IndexError, KeyError, OverflowError) as e:
                 # internal decode-state exceptions must not escape: a restart
                 # marker with no DRI, a truncated stream, or a missing table
                 # are all "corrupt JPEG" to the caller

@@ -208,6 +208,7 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neigh = (
             labels.join(edges, labels.id == edges.src)
@@ -239,8 +240,17 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
         ).localCheckpoint()
         if changed.isEmpty():
             labels = new_labels
+            converged = True
             break
         labels = new_labels
+    if not converged:
+        # silently returning unconverged labels would hand dedupe_clusters
+        # wrong survivors with no signal; pointer jumping makes the round
+        # count O(log diameter), so hitting the cap means pathology
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters (components of diameter > ~2^rounds)"
+        )
     return labels
 
 

@@ -172,6 +172,8 @@ def decode_wav(data: bytes):
         (ln,) = struct.unpack("<I", data[i + 4 : i + 8])
         body = data[i + 8 : i + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("corrupt or truncated WAV fmt chunk")
             fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
             if fmt != 1:
                 raise NotImplementedError(f"non-PCM WAV format {fmt}")
@@ -478,13 +480,19 @@ def mjpeg_frames(data: bytes) -> list[bytes]:
 
     if data[:4] != _MJPG_MAGIC:
         raise ValueError("not an MJPG container")
-    (n,) = struct.unpack("<I", data[4:8])
-    frames = []
-    i = 8
-    for _ in range(n):
-        (ln,) = struct.unpack("<I", data[i : i + 4])
-        frames.append(data[i + 4 : i + 4 + ln])
-        i += 4 + ln
+    try:
+        (n,) = struct.unpack("<I", data[4:8])
+        frames = []
+        i = 8
+        for _ in range(n):
+            (ln,) = struct.unpack("<I", data[i : i + 4])
+            if i + 4 + ln > len(data):
+                raise ValueError("corrupt or truncated MJPG container")
+            frames.append(data[i + 4 : i + 4 + ln])
+            i += 4 + ln
+    except struct.error as e:
+        # malformed media surfaces as ValueError (decode_media contract)
+        raise ValueError("corrupt or truncated MJPG container") from e
     return frames
 
 

@@ -171,3 +171,22 @@ def test_ivf_driver_training_matches_distributed(spark, sf_dir):
     inv_d = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(emb, dist).collect()}
     inv_v = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(emb, drv).collect()}
     assert inv_d == inv_v
+
+
+def test_connected_components_iteration_cap_raises(spark):
+    """Exhausting max_iters without convergence must raise, not silently
+    return wrong labels (ADVICE r3): a 6-node chain cannot converge in one
+    round even with pointer jumping."""
+    import pytest
+
+    from osmix_spark.operators import dedupe
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedupe.connected_components(pairs, max_iters=1)
+    # and the same graph converges fine with the default cap
+    comp = {r["id"]: r["component"]
+            for r in dedupe.connected_components(pairs).collect()}
+    assert set(comp.values()) == {1}

@@ -146,3 +146,40 @@ def test_decode_media_fake_fallback_for_unknown_formats(spark):
     assert len(out) == 2  # stand-in rows, no crash
     with pytest.raises(Exception, match="NotImplementedError"):
         mm.decode_media(media, fake=False).collect()
+
+
+def test_fill_bytes_between_markers_accepted():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    code; real-world encoders emit them and the decoder must skip them."""
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    good = jpeg.encode_baseline(img, quality=75)
+    # inject two fill bytes before the first post-SOI marker (APP/DQT/...)
+    assert good[2] == 0xFF
+    padded = good[:2] + b"\xff\xff" + good[2:]
+    out = jpeg.decode_baseline(padded)
+    assert out.shape == (8, 8, 3)
+    assert (out == jpeg.decode_baseline(good)).all()
+
+
+def test_truncated_header_raises_value_error():
+    """Truncation INSIDE the marker/segment header parse (before any scan)
+    must surface as ValueError, not struct.error/IndexError/OverflowError."""
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    good = jpeg.encode_baseline(img, quality=75)
+    for cut in (3, 5, 9, 20, 40):
+        try:
+            jpeg.decode_baseline(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"cut={cut}: unexpected {type(e)}") from e
+    # bit flips across the header region: only ValueError/NotImplementedError
+    for pos in range(2, min(len(good), 64)):
+        mangled = bytearray(good)
+        mangled[pos] ^= 0x5A
+        try:
+            jpeg.decode_baseline(bytes(mangled))
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"pos={pos}: unexpected {type(e)}") from e

@@ -428,3 +428,32 @@ def test_mjpeg_container_roundtrip_and_sampling(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|MJPG"):
         mm.sample_video_frames(bad).collect()
+
+
+def test_truncated_containers_raise_value_error():
+    """Malformed WAV/MJPG payloads surface as ValueError (decode_media's
+    corrupt-data contract), never raw struct.error."""
+    import numpy as np
+    import pytest
+
+    from osmix_spark.operators import multimodal as mm
+
+    good_wav = mm.encode_wav(np.zeros(64, dtype="<i2"), 8000)
+    # fmt chunk body shorter than 16 bytes
+    short_fmt = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + \
+        b"\x08\x00\x00\x00" + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+    with pytest.raises(ValueError):
+        mm.decode_wav(short_fmt)
+    # truncations of a valid file: ValueError or a successful partial parse
+    for cut in (14, 20, 30, len(good_wav) - 3):
+        try:
+            mm.decode_wav(good_wav[:cut])
+        except ValueError:
+            pass
+
+    frames = [b"\xff\xd8fakejpeg"]
+    good_mjpg = mm.encode_mjpeg(frames)
+    assert mm.mjpeg_frames(good_mjpg) == frames
+    for cut in (5, 7, 9, len(good_mjpg) - 2):
+        with pytest.raises(ValueError):
+            mm.mjpeg_frames(good_mjpg[:cut])
