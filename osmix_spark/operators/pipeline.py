@@ -47,7 +47,9 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
                    create_intersections: bool = True,
                    checkpoint_dir: str | None = None,
                    base_relations: DataFrame | None = None,
-                   patch_relations: DataFrame | None = None):
+                   patch_relations: DataFrame | None = None,
+                   dedupe_final_ways: bool = False,
+                   dedupe_final_nodes: bool = True):
     """-> (nodes, ways, stats), or (nodes, ways, relations, stats) when
     either relations frame is given. With checkpoint_dir set, each stage is
     a lineage-verified checkpoint (resume_or_run semantics).
@@ -56,7 +58,14 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
     per-dataset dedupe rewrites their members via both replacement maps,
     the direct merge upserts patch relations over base by id
     (changeset.ts:722-731 processes ways, nodes, then relations), and the
-    final cross-dataset node dedupe rewrites members once more."""
+    final cross-dataset node dedupe rewrites members once more.
+
+    dedupe_final_ways / dedupe_final_nodes mirror the reference's
+    OsmMergeOptions.deduplicateWays / deduplicateNodes final-dataset
+    stages (merge.ts:86-103): way dedupe runs FIRST, folding
+    cross-dataset duplicate ways that per-dataset cleaning cannot see
+    (reference default is off; ours keeps the node stage on for
+    backward compatibility with the oracle-pinned pipeline)."""
     spark = base_nodes.sparkSession
     stats: dict = {}
 
@@ -90,13 +99,28 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
     stats["merged_nodes"] = nodes.count()
     stats["merged_ways"] = ways.count()
 
-    # stage 6: final dedupe across the merged result
-    node_repl = merge.dedupe_nodes(nodes)
-    stats["deduplicated_nodes"] = node_repl.count()
-    ways = merge.rewrite_way_refs(ways, node_repl)
-    if relations is not None:
-        relations = merge.rewrite_relation_members(relations, node_repl)
-    nodes = nodes.join(node_repl.select(F.col("from_id").alias("id")), "id", "left_anti")
+    # stage 6: final dedupe across the merged result — ways first, then
+    # nodes, each behind the reference's option flag (merge.ts:86-103,
+    # OsmMergeOptions.deduplicateWays/deduplicateNodes): a base and patch
+    # that are each internally clean can still contribute cross-dataset
+    # duplicate ways, which only this stage can fold
+    if dedupe_final_ways:
+        way_repl = merge.dedupe_ways(ways, nodes)
+        stats["deduplicated_ways"] = way_repl.count()
+        ways = ways.join(
+            way_repl.select(F.col("from_id").alias("id")), "id", "left_anti"
+        )
+        if relations is not None:
+            relations = merge.rewrite_relation_members(relations, way_repl=way_repl)
+    if dedupe_final_nodes:
+        node_repl = merge.dedupe_nodes(nodes)
+        stats["deduplicated_nodes"] = node_repl.count()
+        ways = merge.rewrite_way_refs(ways, node_repl)
+        if relations is not None:
+            relations = merge.rewrite_relation_members(relations, node_repl)
+        nodes = nodes.join(
+            node_repl.select(F.col("from_id").alias("id")), "id", "left_anti"
+        )
     nodes = ckpt(nodes, "merged_nodes", "id")
 
     # stage 7: intersections

@@ -3169,6 +3169,40 @@ def osm_route_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("node") == _GRID_N - 1).select("node", F.col("dist").alias("dist_m"))
 
 
+@_q("osm_route_bidirectional", _ASTAR_SQL, extra=True)
+def osm_route_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional s->t search (algorithms/bidirectional.ts:20): the
+    meeting cost mu must equal the full Bellman-Ford s->t distance (the
+    same analytic oracle as A* — both are goal-directed prunings of the
+    one fixpoint). Extra tier: closes the last operator without
+    oracle-grade evidence (R5; exactness vs SSSP also pytest-pinned in
+    test_router.py::test_bidirectional_matches_sssp)."""
+    from .operators import router
+
+    ids = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") >= 0) & (F.col("c_custkey") <= _GRID_N - 1)
+    ).select(F.col("c_custkey").alias("id"))
+    right = ids.filter(
+        (F.col("id") % _GRID_W != _GRID_W - 1) & (F.col("id") + 1 <= _GRID_N - 1)
+    ).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    down = ids.filter(F.col("id") + _GRID_W <= _GRID_N - 1).select(
+        F.col("id").alias("src"), (F.col("id") + _GRID_W).alias("dst")
+    )
+    ew = right.unionByName(down).select(
+        "src", "dst",
+        (F.lit(1.0) + ((F.col("src") * 7 + F.col("dst") * 13) % 8).cast("double") * 0.25).alias("w"),
+    )
+    edges = ew.unionByName(
+        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    _df, _db, mu, _meet = router.bidirectional_distance(
+        edges, source=0, target=_GRID_N - 1
+    )
+    return spark.createDataFrame(
+        [(_GRID_N - 1, float(mu))], "node bigint, dist_m double"
+    )
+
+
 @_q("embed_ann_ivf", _ann_ivf_sql())
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-file ANN (operators/similarity.ivf_topk): deterministic

@@ -338,6 +338,56 @@ def test_merge_pipeline_carries_relations(spark):
     assert stats["merged_relations"] == 2
 
 
+def test_merge_pipeline_final_way_dedupe(spark):
+    """Reference merge.ts:86-92 optional stage-6 deduplicateWays: base and
+    patch are each internally clean, but each carries a distinct-id copy
+    of the SAME way (same resolved geometry + tags) — only the
+    final-dataset way stage can fold them. Exactly one survives (max id,
+    full tie), and relation members pointing at the loser are rewritten."""
+    from osmix_spark.operators import pipeline
+
+    base_n = spark.createDataFrame(
+        [(1, 0.0, 0.0, None), (5, 1.0, 1.0, None)], fixtures.NODE_SCHEMA
+    )
+    base_w = spark.createDataFrame(
+        [(10, [1, 5], {"highway": "path"})], fixtures.WAY_SCHEMA
+    )
+    base_r = spark.createDataFrame(
+        [(100, [("way", 10, "outer"), ("node", 5, "via")], None)],
+        fixtures.RELATION_SCHEMA,
+    )
+    # patch: same geometry/tags as base way 10 under different ids
+    patch_n = spark.createDataFrame(
+        [(21, 0.0, 0.0, None), (25, 1.0, 1.0, None)], fixtures.NODE_SCHEMA
+    )
+    patch_w = spark.createDataFrame(
+        [(30, [21, 25], {"highway": "path"})], fixtures.WAY_SCHEMA
+    )
+
+    # without the flag the duplicate way survives (both node copies fold)
+    nodes0, ways0, rels0, _ = pipeline.merge_datasets(
+        base_n, base_w, patch_n, patch_w, create_intersections=False,
+        base_relations=base_r, patch_relations=None,
+        dedupe_final_ways=False,
+    )
+    assert {r["id"] for r in ways0.collect()} == {10, 30}
+
+    nodes1, ways1, rels1, stats = pipeline.merge_datasets(
+        base_n, base_w, patch_n, patch_w, create_intersections=False,
+        base_relations=base_r, patch_relations=None,
+        dedupe_final_ways=True,
+    )
+    surviving = ways1.collect()
+    assert [r["id"] for r in surviving] == [30]  # full tie -> max id
+    assert stats["deduplicated_ways"] == 1
+    # the final node dedupe still ran after the way stage
+    assert {r["id"] for r in nodes1.collect()} == {21, 25}
+    assert sorted(surviving[0]["refs"]) == [21, 25]
+    # relation member way 10 -> 30; node member rewritten by node dedupe
+    rel = rels1.collect()[0]
+    assert _members(rel["members"]) == [("way", 30, "outer"), ("node", 25, "via")]
+
+
 def test_dedupe_ways_version_beats_id(spark):
     nodes = spark.createDataFrame(
         [(1, 1.0, 1.0, None), (2, 2.0, 2.0, None)], fixtures.NODE_SCHEMA
