@@ -53,6 +53,13 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+# decode_media(with_status=True): the compressed-codec boundary as an
+# explicit output contract — unsupported codecs become counted rows, not
+# task-time exceptions
+FEATURE_STATUS_SCHEMA = T.StructType(
+    [*FEATURE_SCHEMA.fields, T.StructField("status", T.StringType(), False)]
+)
+
 
 def synth_media(spark, n: int, parts: int = 4) -> DataFrame:
     """Deterministic fake media table: payload bytes derived from the id."""
@@ -206,7 +213,8 @@ def encode_wav(samples, rate: int) -> bytes:
     return out
 
 
-def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> DataFrame:
+def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8,
+                 with_status: bool = False) -> DataFrame:
     """Decode + feature-extract in Arrow batches.
 
     PNG payloads decode FOR REAL (decode_png) and so do baseline JPEGs
@@ -216,7 +224,14 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
     raise NotImplementedError at task time unless fake=True, which runs the
     deterministic stand-in (width/height from payload length, rolling
     checksum features) — same schema, partitioning, and batch shape.
-    """
+
+    with_status=True states the compressed-codec boundary as a CONTRACT
+    instead of a docstring: unsupported codecs (MP3/AAC/MP4/H.264 and
+    decoder-declared gaps like progressive JPEG or non-PCM WAV) become
+    rows with status='unsupported_codec' and NULL dims/features; decoded
+    rows carry status='ok'. Output schema gains the `status` column
+    (FEATURE_STATUS_SCHEMA). Corrupt payloads (ValueError) still raise —
+    that is a data error, not a codec boundary."""
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -225,19 +240,37 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
 
         from ..functions import jpeg as _jpeg
 
+        out_fields = [
+            f.name
+            for f in (FEATURE_STATUS_SCHEMA if with_status else FEATURE_SCHEMA).fields
+        ]
         for pdf in batches:
             rows = []
+
+            def unsupported(r, h, buf):
+                rows.append(
+                    {
+                        "media_id": int(r.media_id), "content_hash": h,
+                        "n_bytes": len(buf), "width": None, "height": None,
+                        "features": None, "status": "unsupported_codec",
+                    }
+                )
+
             for r in pdf.itertuples(index=False):
                 buf = bytes(r.payload)
                 h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
                 # real-decoder routing: a NotImplementedError from a decoder
                 # (non-PCM WAV, progressive JPEG, ...) is a codec gap — it
-                # falls through to the stand-in under fake=True; corrupt
-                # data (ValueError) always surfaces
+                # becomes a status row under with_status, falls through to
+                # the stand-in under fake=True, and raises otherwise;
+                # corrupt data (ValueError) always surfaces
                 if buf[:4] == _RIFF_MAGIC and buf[8:12] == b"WAVE":
                     try:
                         samples, rate = decode_wav(buf)
                     except NotImplementedError:
+                        if with_status:
+                            unsupported(r, h, buf)
+                            continue
                         if not fake:
                             raise
                         samples = None
@@ -256,6 +289,7 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                                 "width": None,   # audio has no raster dims;
                                 "height": None,  # n_samples rides in features
                                 "features": feats.tolist(),
+                                "status": "ok",
                             }
                         )
                         continue
@@ -266,6 +300,9 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                     elif buf[:2] == _JPEG_MAGIC:
                         img = _jpeg.decode_baseline(buf)
                 except NotImplementedError:
+                    if with_status:
+                        unsupported(r, h, buf)
+                        continue
                     if not fake:
                         raise
                     img = None
@@ -281,8 +318,12 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                             "width": int(img.shape[1]),
                             "height": int(img.shape[0]),
                             "features": feats.astype(np.float32).tolist(),
+                            "status": "ok",
                         }
                     )
+                    continue
+                if with_status:
+                    unsupported(r, h, buf)
                     continue
                 if not fake:
                     raise NotImplementedError(
@@ -304,11 +345,14 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                         "width": len(buf) % 640 if r.kind == "image" else None,
                         "height": len(buf) % 480 if r.kind == "image" else None,
                         "features": feats.tolist(),
+                        "status": "ok",
                     }
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=out_fields)
 
-    return media.mapInPandas(go, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(
+        go, schema=FEATURE_STATUS_SCHEMA if with_status else FEATURE_SCHEMA
+    )
 
 
 
@@ -427,12 +471,19 @@ def synth_wav_media(ids: DataFrame, n_samples: int = 256,
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def synth_mixed_media(ids: DataFrame, size: int = 16) -> DataFrame:
+def synth_mixed_media(ids: DataFrame, size: int = 16,
+                      with_unsupported: bool = False) -> DataFrame:
     """One-pass mixed-format media table: even media_ids get the PNG
     fixture (synth_png_media pixels), odd ids the block-constant JPEG
     fixture (synth_jpeg_media) — a single mapInPandas instead of two
     filtered generators + a union (one stage less; payload bytes
-    identical)."""
+    identical).
+
+    with_unsupported=True instead cycles media_id % 5 through
+    PNG / JPEG / WAV (all real decoders) / MP3 / MP4 — the last two are
+    deterministic payloads with real container magics (ID3v2, ftyp box)
+    that no decoder here supports, exercising decode_media's
+    status='unsupported_codec' contract on a mixed table."""
     from ..functions import jpeg as _jpeg
     from .tiles import _write_png_rgba
 
@@ -443,7 +494,21 @@ def synth_mixed_media(ids: DataFrame, size: int = 16) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 mid = int(r.media_id)
-                if mid % 2 == 0:
+                kind = "image"
+                sel = mid % 5 if with_unsupported else mid % 2
+                if with_unsupported and sel == 2:
+                    i = np.arange(256, dtype=np.int64)
+                    k = (mid % 97 + 3) * 131
+                    s = ((i * k) % 65536 - 32768).astype("<i2")
+                    payload, mime, kind = encode_wav(s, 8000), "audio/wav", "audio"
+                elif with_unsupported and sel == 3:
+                    body = bytes((mid * 7 + j * 13) % 256 for j in range(64))
+                    payload, mime, kind = b"ID3\x04\x00" + body, "audio/mpeg", "audio"
+                elif with_unsupported and sel == 4:
+                    body = bytes((mid * 11 + j * 17) % 256 for j in range(64))
+                    payload = b"\x00\x00\x00\x18ftypisom" + body
+                    mime, kind = "video/mp4", "video"
+                elif sel % 2 == 0:
                     payload, mime = _write_png_rgba(_png_pixels(mid, size)), "image/png"
                 else:
                     g = _gray_blocks(mid, size)
@@ -451,7 +516,7 @@ def synth_mixed_media(ids: DataFrame, size: int = 16) -> DataFrame:
                         np.stack([g, g, g], axis=-1), quality=75
                     )
                     mime = "image/jpeg"
-                rows.append({"media_id": mid, "kind": "image", "mime": mime,
+                rows.append({"media_id": mid, "kind": kind, "mime": mime,
                              "payload": payload, "meta": None})
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -1857,6 +1857,34 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CODEC_BOUNDARY_SQL = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 5 >= 3 THEN 'unsupported_codec' ELSE 'ok' END AS status,
+           (doc_id % 5 < 3) AS has_features
+    FROM documents
+"""
+
+
+@_q("multimodal_codec_boundary", _CODEC_BOUNDARY_SQL, extra=True)
+def multimodal_codec_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-codec boundary as an oracle-backed CONTRACT: a mixed
+    media table cycling PNG / JPEG / WAV (real decoders) / MP3 / MP4
+    (real container magics, no codec here) through
+    decode_media(with_status=True) — supported rows decode with
+    status='ok', MP3/MP4 rows surface as counted 'unsupported_codec' rows
+    instead of task-time exceptions (multimodal.py boundary, VERDICT r3)."""
+    from .operators import multimodal as _mm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    media = _mm.synth_mixed_media(docs, size=16, with_unsupported=True)
+    out = _mm.decode_media(media, with_status=True)
+    return out.select(
+        "media_id", "status", F.col("features").isNotNull().alias("has_features")
+    )
+
+
 @_q(
     "multimodal_audio",
     """
