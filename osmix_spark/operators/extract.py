@@ -34,13 +34,16 @@ def extract(
     strategy: str = "simple",
     relations: DataFrame | None = None,
     relation_members: DataFrame | None = None,
+    return_members: bool = False,
 ):
-    """Returns (nodes, ways[, relations]) filtered per the strategy.
+    """Returns (nodes, ways[, relations[, members]]) filtered per the
+    strategy.
 
     nodes: (id, lon, lat, ...); ways: (id, refs array<long>, tags);
     relations/relation_members optional: (id, tags) /
-    (relation_id, member_type, member_ref, role).
-    """
+    (relation_id, member_type, member_ref, role). With return_members the
+    surviving (filtered) member rows are returned too — the reference's
+    extracts carry pruned member lists (extract.ts simple semantics)."""
     inside = nodes.filter(
         geo.in_bbox(F.col("lon"), F.col("lat"), west, south, east, north, epsilon=0.0)
     )
@@ -62,8 +65,13 @@ def extract(
         # ways with >= 1 inside node survive whole
         touched = ref_in.select("way_id").distinct()
         out_ways = ways.join(touched.withColumnRenamed("way_id", "id"), "id", "left_semi")
+        extra_nodes = None
         if strategy == "smart" and relations is not None and relation_members is not None:
-            # multipolygon relations with any kept way pulled reference-complete
+            # multipolygon relations with any kept way pulled
+            # reference-complete: ALL their way AND node members come in
+            # (extract.test.ts "smart strategy retains node members of
+            # relations" / "resolves multipolygon nested relation members"
+            # — non-multipolygon relations are NOT extended)
             mp = relations.filter(F.element_at(F.col("tags"), F.lit("type")) == "multipolygon")
             way_members = relation_members.filter(F.col("member_type") == "way")
             kept_rel = (
@@ -79,6 +87,12 @@ def extract(
                 .select(F.col("member_ref").alias("id"))
                 .distinct()
             )
+            extra_nodes = (
+                relation_members.filter(F.col("member_type") == "node")
+                .join(kept_rel, "relation_id", "left_semi")
+                .select(F.col("member_ref").alias("id"))
+                .distinct()
+            )
             out_ways = ways.join(
                 out_ways.select("id").unionByName(extra_ways).distinct(), "id", "left_semi"
             )
@@ -86,9 +100,10 @@ def extract(
         kept_refs = (
             out_ways.select(F.explode("refs").alias("id")).distinct()
         )
-        out_nodes = nodes.join(
-            inside_ids.unionByName(kept_refs).distinct(), "id", "left_semi"
-        )
+        keep_node_ids = inside_ids.unionByName(kept_refs)
+        if extra_nodes is not None:
+            keep_node_ids = keep_node_ids.unionByName(extra_nodes)
+        out_nodes = nodes.join(keep_node_ids.distinct(), "id", "left_semi")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -96,8 +111,12 @@ def extract(
         return out_nodes, out_ways
 
     # relations keep members that survived (simple semantics for all
-    # strategies; smart's reference-completion handled above)
-    kept_members = relation_members.join(
+    # strategies; smart's reference-completion handled above). A member of
+    # type 'relation' survives when its CHILD relation survives — child
+    # survival propagates upward through super-relations (bounded like
+    # resolve_relation_members; extract.test.ts keeps the site relation's
+    # 'relation' member in every strategy).
+    entity_members = relation_members.join(
         out_nodes.select(F.col("id").alias("member_ref")).withColumn("member_type", F.lit("node"))
         .unionByName(
             out_ways.select(F.col("id").alias("member_ref")).withColumn("member_type", F.lit("way"))
@@ -105,9 +124,31 @@ def extract(
         ["member_ref", "member_type"],
         "left_semi",
     )
+    surviving = entity_members.select("relation_id").distinct()
+    rel_members = relation_members.filter(F.col("member_type") == "relation")
+    kept_rel_members = None
+    for _ in range(10):
+        step = rel_members.join(
+            surviving.withColumnRenamed("relation_id", "member_ref"),
+            "member_ref", "left_semi",
+        )
+        kept_rel_members = (
+            step if kept_rel_members is None
+            else kept_rel_members.unionByName(step)
+        )
+        grown = surviving.unionByName(step.select("relation_id")).distinct()
+        if grown.exceptAll(surviving).isEmpty():
+            surviving = grown
+            break
+        surviving = grown
+    kept_members = entity_members
+    if kept_rel_members is not None:
+        kept_members = kept_members.unionByName(kept_rel_members).distinct()
     out_relations = relations.join(
-        kept_members.select(F.col("relation_id").alias("id")).distinct(), "id", "left_semi"
+        surviving.withColumnRenamed("relation_id", "id"), "id", "left_semi"
     )
+    if return_members:
+        return out_nodes, out_ways, out_relations, kept_members
     return out_nodes, out_ways, out_relations
 
 

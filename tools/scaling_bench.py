@@ -116,15 +116,20 @@ def main() -> None:
     prep = PREP.format(repo=REPO, replicate=replicate, sf_dir=sf_dir, out_path=out_path)
     subprocess.run([sys.executable, "-c", prep], check=True, capture_output=True, timeout=900)
     # interleave lo/hi pairs so both levels sample the same background
-    # noise; report the median-efficiency pair (shared-host variance was
-    # observed at +-20% between back-to-back runs)
+    # noise; report the median-efficiency pair AND the min (a noisy host
+    # must not be able to flip the PASS: the r3 pair spread straddled the
+    # 0.8 target, so the pair count is 7 and the min is surfaced)
+    n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "7"))
     pairs = []
-    for _ in range(3):
+    for i in range(n_pairs):
         lo_i = run_level(n, sf_dir, out_path)
         hi_i = run_level(4 * n, sf_dir, out_path)
-        pairs.append((hi_i["rows_per_sec"] / (4 * lo_i["rows_per_sec"]), lo_i, hi_i))
+        e = hi_i["rows_per_sec"] / (4 * lo_i["rows_per_sec"])
+        pairs.append((e, lo_i, hi_i))
+        print(f"pair {i}: efficiency {e:.3f}", flush=True)
     pairs.sort(key=lambda x: x[0])
     eff, lo, hi = pairs[len(pairs) // 2]
+    eff_min = pairs[0][0]
     result = {
         "job": "flagship pages geocode + cell assign + spatial join + tile agg",
         "input_pages": lo["n_pages"],
@@ -133,10 +138,19 @@ def main() -> None:
         "high": hi,
         "all_efficiencies": [round(e, 3) for e, _l, _h in pairs],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_min_pair": round(eff_min, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "pass_min_pair": eff_min >= 0.8,
     }
     print(json.dumps(result, indent=2))
+    min_note = (
+        "min-pair also >= 0.8"
+        if eff_min >= 0.8
+        else "min pair below target: sandbox noisy-neighbor variance; the "
+             "median is the headline because each pair shares its "
+             "background load"
+    )
     md = f"""# BENCH — two-cluster-size scaling evidence (north rule)
 
 The north rule requires >= 0.8 throughput scaling efficiency between N and
@@ -159,9 +173,10 @@ per-tile aggregation. Input: {lo['n_pages']:,} pages derived from
 = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 
 Raw timings (median pair): local[{n}] {lo['times']}, local[{4*n}]
-{hi['times']}. Efficiency across the 3 interleaved pairs:
-{result['all_efficiencies']} (median reported; the sandbox host has
-noisy-neighbor variance, so pairs are measured back-to-back).
+{hi['times']}. Efficiency across the {n_pairs} interleaved pairs (sorted):
+{result['all_efficiencies']} — median **{eff:.3f}**, min
+**{eff_min:.3f}** ({min_note}). Pairs are measured back-to-back so both
+levels sample the same host noise.
 
 Reproduce: `python tools/scaling_bench.py {n} {replicate} {sf_dir}`
 """
