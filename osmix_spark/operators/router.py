@@ -114,7 +114,8 @@ def shortest_path(edges: DataFrame, source: int, max_rounds: int = 200,
 
 
 def astar_distance(edges: DataFrame, nodes: DataFrame, source: int, target: int,
-                   max_rounds: int = 200, broadcast_edges: bool = True) -> DataFrame:
+                   max_rounds: int = 200, broadcast_edges: bool = True,
+                   probe_every: int = 1) -> DataFrame:
     """Goal-directed s->t shortest path (A*, reference
     algorithms/shortest-path.ts:127): the label-correcting fixpoint with the
     frontier PRUNED by the admissible great-circle heuristic — a frontier
@@ -128,6 +129,11 @@ def astar_distance(edges: DataFrame, nodes: DataFrame, source: int, target: int,
     shortest_path: one shuffle per round, plus a broadcast join of the
     frontier against the (small per-round) coordinate lookup; the
     upper-bound check is a 1-row aggregate per round.
+
+    probe_every=k runs the driver-side target probe + frontier prune only
+    every k-th round: at billion-node scale the per-round 1-row collect is
+    round-trip chatter, and deferring it only delays pruning (the result
+    is the same fixpoint; exactness-tested at k=3).
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst", "w").localCheckpoint()
@@ -144,7 +150,7 @@ def astar_distance(edges: DataFrame, nodes: DataFrame, source: int, target: int,
     ).localCheckpoint()
     frontier = dist
     ub = None  # best known s->t cost
-    for _ in range(max_rounds):
+    for round_i in range(max_rounds):
         cand = frontier.join(e, frontier["node"] == e["src"]).select(
             e["dst"].alias("node"),
             (frontier["dist"] + e["w"]).alias("dist"),
@@ -166,10 +172,14 @@ def astar_distance(edges: DataFrame, nodes: DataFrame, source: int, target: int,
             .select("node", F.col("b.dist").alias("dist"), F.col("b.via").alias("via"))
             .localCheckpoint()
         )
-        hit = improved.filter(F.col("node") == target).select(F.min("dist")).collect()
-        if hit and hit[0][0] is not None:
-            ub = hit[0][0] if ub is None else min(ub, float(hit[0][0]))
         frontier = improved
+        if (round_i + 1) % probe_every != 0:
+            continue
+        # probe the full dist table (not this round's improvements) so a
+        # target label set in an unprobed round is still seen
+        hit = dist.filter(F.col("node") == target).select(F.min("dist")).collect()
+        if hit and hit[0][0] is not None:
+            ub = float(hit[0][0]) if ub is None else min(ub, float(hit[0][0]))
         if ub is not None:
             h = geo.haversine_m(F.col("lon"), F.col("lat"), F.lit(tlon), F.lit(tlat))
             frontier = (
@@ -185,7 +195,8 @@ def astar_distance(edges: DataFrame, nodes: DataFrame, source: int, target: int,
 
 def bidirectional_distance(edges: DataFrame, source: int, target: int,
                            max_rounds: int = 200,
-                           broadcast_edges: bool = True):
+                           broadcast_edges: bool = True,
+                           probe_every: int = 1):
     """Bidirectional s->t search (reference algorithms/bidirectional.ts:20):
     forward fixpoint from `source` and backward fixpoint from `target` over
     the reversed edge list advance in lockstep; after each round the best
@@ -194,6 +205,12 @@ def bidirectional_distance(edges: DataFrame, source: int, target: int,
     undiscovered s->t path must cross both frontiers, so it cannot beat mu
     (exactness argument in tests/test_router.py). Returns
     (dist_f, dist_b, mu, meet_node); mu is None if unreachable.
+
+    probe_every=k runs the driver-side mu probe + termination check only
+    every k-th round (billion-node graphs: per-round collects are
+    round-trip chatter); a stale mu only delays the stop, never breaks
+    exactness, and with k > 1 the returned (mu, meet) are recomputed
+    exactly from the full dist_f x dist_b meeting set after the loop.
     """
     spark = edges.sparkSession
 
@@ -241,25 +258,24 @@ def bidirectional_distance(edges: DataFrame, source: int, target: int,
         )
         return improved, merged
 
-    for _ in range(max_rounds):
+    for round_i in range(max_rounds):
         new_f, dist_f = expand(fr_f, dist_f, e) if fr_f is not None else (None, dist_f)
         new_b, dist_b = expand(fr_b, dist_b, er) if fr_b is not None else (None, dist_b)
         if new_f is None and new_b is None:
             break
-        # tighten mu with meetings involving this round's improvements
-        probes = []
-        if new_f is not None:
-            probes.append(new_f.join(dist_b.select("node", F.col("dist").alias("db")), "node")
-                          .select("node", (F.col("dist") + F.col("db")).alias("mu")))
-        if new_b is not None:
-            probes.append(new_b.join(dist_f.select("node", F.col("dist").alias("df")), "node")
-                          .select("node", (F.col("dist") + F.col("df")).alias("mu")))
-        if probes:
-            allp = probes[0] if len(probes) == 1 else probes[0].unionByName(probes[1])
-            top = allp.orderBy("mu", "node").limit(1).collect()
-            if top and (mu is None or float(top[0]["mu"]) < mu):
-                mu, meet = float(top[0]["mu"]), int(top[0]["node"])
         fr_f, fr_b = new_f, new_b
+        if (round_i + 1) % probe_every != 0:
+            continue
+        # tighten mu with meetings over the FULL dist tables (with k > 1,
+        # meetings from unprobed rounds must still be seen)
+        top = (
+            dist_f.select("node", F.col("dist").alias("df"))
+            .join(dist_b.select("node", F.col("dist").alias("db")), "node")
+            .select("node", (F.col("df") + F.col("db")).alias("mu"))
+            .orderBy("mu", "node").limit(1).collect()
+        )
+        if top and (mu is None or float(top[0]["mu"]) < mu):
+            mu, meet = float(top[0]["mu"]), int(top[0]["node"])
         if mu is not None:
             mins = []
             for fr in (fr_f, fr_b):
@@ -270,6 +286,16 @@ def bidirectional_distance(edges: DataFrame, source: int, target: int,
                 mins.append(float(m) if m is not None else None)
             if mins[0] is not None and mins[1] is not None and mins[0] + mins[1] >= mu:
                 break
+    if probe_every > 1:
+        # exact final (mu, meet) regardless of which rounds were probed
+        top = (
+            dist_f.select("node", F.col("dist").alias("df"))
+            .join(dist_b.select("node", F.col("dist").alias("db")), "node")
+            .select("node", (F.col("df") + F.col("db")).alias("mu"))
+            .orderBy("mu", "node").limit(1).collect()
+        )
+        if top:
+            mu, meet = float(top[0]["mu"]), int(top[0]["node"])
     return dist_f, dist_b, mu, meet
 
 
