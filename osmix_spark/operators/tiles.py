@@ -256,7 +256,8 @@ def encode_way_mvt(ways_px: DataFrame, layer: str = "ways",
 
 def encode_way_mvt_vertices(verts: DataFrame, z: int, layer: str = "ways",
                             id_block: int = 8192,
-                            extent: int = mvt.EXTENT) -> DataFrame:
+                            extent: int = mvt.EXTENT,
+                            stats_only: bool = False) -> DataFrame:
     """Vertex-direct line-tile pipeline: verts(way_id, s1, s2, lon, lat) —
     one row per way vertex, vertex order within a way ascending (s1, s2) —
     straight to the materialized tile table. Bytes identical to
@@ -391,14 +392,22 @@ def encode_way_mvt_vertices(verts: DataFrame, z: int, layer: str = "ways",
         encode_verts,
         schema="z int, tx long, ty long, blk long, n int, frames binary",
     )
-    return merge_way_frames(stage1, layer)
+    return merge_way_frames(stage1, layer, stats_only=stats_only)
 
 
-def merge_way_frames(stage1: DataFrame, layer: str = "ways") -> DataFrame:
+def merge_way_frames(stage1: DataFrame, layer: str = "ways",
+                     stats_only: bool = False) -> DataFrame:
     """Concatenate per-(tile, block) frame blobs in block order and wrap
     the layer — the stage-2 half of the two-stage parallel encode.
     Partition-batched mapInPandas on an explicit-count repartition (AQE
-    would serialize the tiny-by-bytes merge + the downstream decode)."""
+    would serialize the tiny-by-bytes merge + the downstream decode).
+
+    stats_only=True decodes each assembled tile IN the merge pass and
+    emits MVT_STATS_SCHEMA rows instead of the tile table: the stats
+    shadow query otherwise ships every tile's bytes across the Arrow
+    boundary twice (Python merge -> JVM -> Python decode). The decoded
+    bytes are the very buffer just assembled, so the codec is exercised
+    identically."""
 
     def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -421,24 +430,30 @@ def merge_way_frames(stage1: DataFrame, layer: str = "ways") -> DataFrame:
                 continue
             frames = b"".join(bytes(b) for b in frames_col.iloc[start:i])
             buf = mvt._len_delim(3, mvt.layer_wrap(layer, frames))
-            h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
-            rows.append(
-                {
-                    "z": int(gkeys[start][0]), "tx": int(gkeys[start][1]),
-                    "ty": int(gkeys[start][2]),
-                    "n_features": int(n_col.iloc[start:i].sum()),
-                    "size_bytes": len(buf), "content_hash": h, "tile": buf,
-                }
+            z, tx, ty = (
+                int(gkeys[start][0]), int(gkeys[start][1]), int(gkeys[start][2])
             )
+            if stats_only:
+                s = mvt.decode_tile_stats_np(buf).get(layer)
+                if s is not None and s["n_features"]:
+                    rows.append({"z": z, "tx": tx, "ty": ty, **s})
+            else:
+                h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
+                rows.append(
+                    {
+                        "z": z, "tx": tx, "ty": ty,
+                        "n_features": int(n_col.iloc[start:i].sum()),
+                        "size_bytes": len(buf), "content_hash": h, "tile": buf,
+                    }
+                )
             start = i
         if rows:
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MVT_SCHEMA.fields]
-            )
+            schema = MVT_STATS_SCHEMA if stats_only else MVT_SCHEMA
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     par = stage1.sparkSession.sparkContext.defaultParallelism
     return stage1.repartition(par, "z", "tx", "ty").mapInPandas(
-        merge_partition, schema=MVT_SCHEMA
+        merge_partition, schema=MVT_STATS_SCHEMA if stats_only else MVT_SCHEMA
     )
 
 

@@ -3462,5 +3462,7 @@ def tile_way_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nodes.withColumnRenamed("id", "ref")), "ref")
     )
-    tiles = tiles_op.encode_way_mvt_vertices(verts, z=12)
-    return tiles_op.mvt_decoded_stats(tiles, layer="ways")
+    # stats_only fuses the decode into the tile-assembly pass (the bytes
+    # decoded are the just-assembled tile buffers — same codec exercise,
+    # one less 48MB Arrow round-trip)
+    return tiles_op.encode_way_mvt_vertices(verts, z=12, stats_only=True)
