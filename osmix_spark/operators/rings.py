@@ -131,4 +131,8 @@ def assemble_relation_rings(members: DataFrame, ways: DataFrame,
             r["ring_index"] = i
         return pd.DataFrame(out_rows, columns=[f.name for f in RING_SCHEMA.fields]) if out_rows else pd.DataFrame(columns=[f.name for f in RING_SCHEMA.fields]).astype({"relation_id": "int64", "ring_index": "int32"})
 
-    return m.groupBy("relation_id").applyInPandas(assemble, schema=RING_SCHEMA)
+    from .tiles import _spread
+
+    return _spread(m, "relation_id").groupBy("relation_id").applyInPandas(
+        assemble, schema=RING_SCHEMA
+    )

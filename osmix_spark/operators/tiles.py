@@ -51,6 +51,17 @@ def point_tile_px(df: DataFrame, z: int, lon: str = "lon", lat: str = "lat",
     )
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit-count repartition on the grouping keys before a
+    groupBy().applyInPandas: the hash exchange it introduces satisfies the
+    groupBy's distribution requirement (no second shuffle), but — unlike
+    the groupBy's own exchange — an explicit partition count is exempt
+    from AQE byte-based coalescing, which would otherwise pack a
+    small-by-bytes, CPU-heavy Python stage into 1-2 tasks (SCALE.md
+    global posture; measured round 4)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *keys)
+
+
 MVT_SCHEMA = T.StructType(
     [
         T.StructField("z", T.IntegerType(), False),
@@ -116,7 +127,7 @@ def encode_point_mvt(points_px: DataFrame, layer: str = "points",
         )
 
     return (
-        points_px.select(*cols)
+        _spread(points_px.select(*cols), "z", "tx", "ty")
         .groupBy("z", "tx", "ty")
         .applyInPandas(encode, schema=MVT_SCHEMA)
     )
@@ -526,7 +537,7 @@ def encode_polygon_mvt(rings_px: DataFrame, layer: str = "areas") -> DataFrame:
               "size_bytes": len(buf), "content_hash": h, "tile": buf}]
         )
 
-    return rings_px.groupBy("z", "tx", "ty").applyInPandas(encode, schema=MVT_SCHEMA)
+    return _spread(rings_px, "z", "tx", "ty").groupBy("z", "tx", "ty").applyInPandas(encode, schema=MVT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -588,7 +599,8 @@ def render_point_raster(points_px: DataFrame, id_col: str = "id",
         )
 
     return (
-        points_px.select("z", "tx", "ty", id_col, "px", "py")
+        _spread(points_px.select("z", "tx", "ty", id_col, "px", "py"),
+                "z", "tx", "ty")
         .groupBy("z", "tx", "ty")
         .applyInPandas(render, schema=RASTER_SCHEMA)
     )
@@ -838,7 +850,7 @@ def render_line_raster(ways_px: DataFrame, tile_size: int = 256,
               "content_hash": h, "png": png}]
         )
 
-    return ways_px.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
+    return _spread(ways_px, "z", "tx", "ty").groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
 
 
 # --- linear-light premultiplied compositing (raster/src/color.ts) -----------
@@ -937,7 +949,7 @@ def render_polygon_raster(rings_px: DataFrame, tile_size: int = 256,
               "content_hash": h, "png": png}]
         )
 
-    return rings_px.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
+    return _spread(rings_px, "z", "tx", "ty").groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1044,7 +1056,7 @@ def render_composite_raster(features: DataFrame, tile_size: int = 256,
               "content_hash": h, "png": png}]
         )
 
-    return features.groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
+    return _spread(features, "z", "tx", "ty").groupBy("z", "tx", "ty").applyInPandas(render, schema=RASTER_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1304,7 +1316,7 @@ def shortbread_point_tiles(tagged_points: DataFrame, z: int) -> DataFrame:
               "size_bytes": len(buf), "content_hash": h, "tile": buf}]
         )
 
-    return px.groupBy("z", "tx", "ty").applyInPandas(encode, schema=MVT_SCHEMA)
+    return _spread(px, "z", "tx", "ty").groupBy("z", "tx", "ty").applyInPandas(encode, schema=MVT_SCHEMA)
 
 
 def mvt_decoded_layer_stats(tiles: DataFrame) -> DataFrame:

@@ -175,7 +175,7 @@ a multi-executor `spark-submit --py-files` run.
 Job: pages geocoded (deterministic synthetic coordinates) -> Web-Mercator
 cell assignment (z14) -> spatial equi-join vs broadcast node layer ->
 per-tile aggregation. Input: {lo['n_pages']:,} pages derived from
-{sf_dir}/lineitem.parquet (median of 5 timed runs after warmup).
+{sf_dir}/lineitem.parquet (median of 3 timed runs after warmup).
 
 | parallelism | wall (s) | pages/sec |
 |---|---|---|
