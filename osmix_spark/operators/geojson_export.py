@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import geo
-from . import rings as rings_op
 
 
 def _fmt(c: Column, precision: int) -> Column:
@@ -91,6 +90,23 @@ def _feature_json(id_col: Column, geometry: Column, props: Column) -> Column:
     )
 
 
+def way_coord_arrays(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(way_id, nrefs, lons, lats) — refs resolved against the node layer
+    in ref order; unresolvable refs are dropped (len(lons) < nrefs flags a
+    partially-resolved way). ONE shared frame for the way/ring/line paths:
+    passing the same DataFrame object to all three makes their subplans
+    identical, so Spark's ReuseExchange runs the resolve shuffle once per
+    query instead of three times."""
+    refs = ways.select(F.col("id").alias("way_id"), F.size("refs").alias("nrefs"),
+                       F.posexplode("refs").alias("seq", "ref"))
+    return (
+        refs.join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref")
+        .groupBy("way_id", "nrefs")
+        .agg(F.array_sort(F.collect_list(F.struct("seq", "lon", "lat"))).alias("s"))
+        .select("way_id", "nrefs", F.col("s.lon").alias("lons"), F.col("s.lat").alias("lats"))
+    )
+
+
 def nodes_to_features(nodes: DataFrame, precision: int = 6) -> DataFrame:
     """nodeToFeature (entity-to-feature.ts:45-60): (id, lon, lat, tags) ->
     (id, entity_type, feature json). Pure Catalyst."""
@@ -106,27 +122,25 @@ def nodes_to_features(nodes: DataFrame, precision: int = 6) -> DataFrame:
     )
 
 
-def ways_to_features(ways: DataFrame, nodes: DataFrame, precision: int = 6) -> DataFrame:
+def ways_to_features(ways: DataFrame, nodes: DataFrame, precision: int = 6,
+                     coords: DataFrame | None = None) -> DataFrame:
     """wayToFeature (entity-to-feature.ts:77-107): LineString, or Polygon
     when wayIsArea. Coordinate resolution is the J1 join; ways whose refs
-    don't fully resolve are dropped."""
-    refs = ways.select(F.col("id"), F.size("refs").alias("__nrefs"),
-                       F.posexplode("refs").alias("seq", "ref"))
-    coords = (
-        refs.join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref")
-        .groupBy("id", "__nrefs")
-        .agg(F.array_sort(F.collect_list(F.struct("seq", "lon", "lat"))).alias("s"))
-        .filter(F.size("s") == F.col("__nrefs"))  # drop partially-resolved ways
-        .select("id", F.col("s").alias("coords"))
+    don't fully resolve are dropped. coords: optional pre-built
+    way_coord_arrays frame (share it across paths for exchange reuse)."""
+    if coords is None:
+        coords = way_coord_arrays(ways, nodes)
+    resolved = coords.filter(F.size("lons") == F.col("nrefs")).select(
+        F.col("way_id").alias("id"), "lons", "lats"
     )
-    w = ways.join(coords, "id")
+    w = ways.join(resolved, "id")
     coords_json = F.concat(
         F.lit("["),
         F.array_join(
-            F.transform(
-                F.col("coords"),
-                lambda s: F.concat(F.lit("["), _fmt(s.lon, precision), F.lit(","),
-                                   _fmt(s.lat, precision), F.lit("]")),
+            F.zip_with(
+                F.col("lons"), F.col("lats"),
+                lambda x, y: F.concat(F.lit("["), _fmt(x, precision), F.lit(","),
+                                      _fmt(y, precision), F.lit("]")),
             ),
             ",",
         ),
@@ -196,107 +210,117 @@ _REL_GEOM_SCHEMA = T.StructType(
 )
 
 
-def _area_geometry_json(rings: DataFrame, precision: int = 6) -> DataFrame:
-    """rings (assemble_relation_rings output) -> (relation_id, geometry):
-    Polygon for a single outer, else MultiPolygon; each inner attached to
-    the first containing outer."""
+def _build_area_geom(pdf: pd.DataFrame, precision: int) -> str:
+    """Ring assembly (identical to rings.assemble_relation_rings —
+    chaining, winding, canonical (role, first-coord) order) fused with the
+    JSON build. Polygon for a single outer, else MultiPolygon; each inner
+    attached to the first containing outer."""
+    from .rings import canonical_ring, connect_ways_to_rings, ensure_winding
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rid = int(key[0])
+    def ring_json(ring):
+        pts = ",".join(f"[{x:.{precision}f},{y:.{precision}f}]" for x, y in ring)
+        return f"[{pts}]"
 
-        def ring_json(lons, lats):
-            pts = ",".join(
-                f"[{x:.{precision}f},{y:.{precision}f}]" for x, y in zip(lons, lats)
-            )
-            return f"[{pts}]"
+    assembled: list[tuple[str, list]] = []
+    for role in ("outer", "inner"):
+        group = pdf[pdf["role"] == role].sort_values("way_id")
+        ways_c = [list(zip(r.lons, r.lats)) for r in group.itertuples(index=False)]
+        for ring in connect_ways_to_rings(ways_c):
+            ring = canonical_ring(ensure_winding(ring, clockwise=(role == "inner")))
+            assembled.append((role, ring))
+    assembled.sort(key=lambda r: (r[0], r[1][0][0], r[1][0][1]))
+    outers = [ring for role, ring in assembled if role != "inner"]
+    inners = [ring for role, ring in assembled if role == "inner"]
+    if not outers:
+        return '{"type":"MultiPolygon","coordinates":[]}'
+    polys: list[list[str]] = [[ring_json(o)] for o in outers]
+    for ring in inners:
+        target = 0
+        for i, outer in enumerate(outers):
+            if _pip(ring[0][0], ring[0][1], outer):
+                target = i
+                break
+        polys[target].append(ring_json(ring))
+    if len(polys) == 1:
+        return '{"type":"Polygon","coordinates":[' + ",".join(polys[0]) + "]}"
+    body = ",".join("[" + ",".join(p) + "]" for p in polys)
+    return '{"type":"MultiPolygon","coordinates":[' + body + "]}"
 
-        pdf = pdf.sort_values("ring_index")
-        outers = [
-            (list(r.lons), list(r.lats))
-            for r in pdf[pdf["role"] != "inner"].itertuples(index=False)
+
+def _build_line_geom(pdf: pd.DataFrame, precision: int) -> str:
+    """Member ways chained per role group (buildRelationLineStrings,
+    relation-kind.ts:160-215)."""
+    roles = sorted(pdf["role"].unique())
+    groups = [pdf] if len(roles) <= 1 else [pdf[pdf["role"] == r] for r in roles]
+    lines: list[list] = []
+    for grp in groups:
+        # MEMBER order, not way-id order: greedy chaining is
+        # order-sensitive and the reference consumes relation.members
+        # in sequence (relation-kind.ts:160-215)
+        ways_c = [
+            list(zip(r.lons, r.lats))
+            for r in grp.sort_values("seq").itertuples(index=False)
         ]
-        inners = [
-            (list(r.lons), list(r.lats))
-            for r in pdf[pdf["role"] == "inner"].itertuples(index=False)
-        ]
-        if not outers:
-            geom = '{"type":"MultiPolygon","coordinates":[]}'
-        else:
-            polys: list[list[str]] = [[ring_json(lo, la)] for lo, la in outers]
-            rings_xy = [list(zip(lo, la)) for lo, la in outers]
-            for lo, la in inners:
-                target = 0
-                for i, ring in enumerate(rings_xy):
-                    if _pip(lo[0], la[0], ring):
-                        target = i
-                        break
-                polys[target].append(ring_json(lo, la))
-            if len(polys) == 1:
-                geom = '{"type":"Polygon","coordinates":[' + ",".join(polys[0]) + "]}"
-            else:
-                body = ",".join("[" + ",".join(p) + "]" for p in polys)
-                geom = '{"type":"MultiPolygon","coordinates":[' + body + "]}"
-        return pd.DataFrame([{"relation_id": rid, "geometry": geom}])
+        lines.extend(_chain_open(ways_c))
 
-    return rings.groupBy("relation_id").applyInPandas(build, schema=_REL_GEOM_SCHEMA)
+    def line_json(line):
+        return "[" + ",".join(
+            f"[{x:.{precision}f},{y:.{precision}f}]" for x, y in line
+        ) + "]"
+
+    if not lines:
+        return '{"type":"MultiLineString","coordinates":[]}'
+    if len(lines) == 1:
+        return '{"type":"LineString","coordinates":' + line_json(lines[0]) + "}"
+    return ('{"type":"MultiLineString","coordinates":['
+            + ",".join(line_json(li) for li in lines) + "]}")
 
 
-def _line_geometry_json(members: DataFrame, ways: DataFrame, nodes: DataFrame,
-                        precision: int = 6) -> DataFrame:
-    """Line relations: member ways chained per role group
-    (buildRelationLineStrings, relation-kind.ts:160-215)."""
-    refs = ways.select(F.col("id").alias("way_id"), F.posexplode("refs").alias("seq", "ref"))
-    coords = (
-        refs.join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref")
-        .groupBy("way_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seq", "lon", "lat"))).alias("s"))
-        .select("way_id", F.col("s.lon").alias("lons"), F.col("s.lat").alias("lats"))
+def _relation_geometry_json(area_members: DataFrame, line_members: DataFrame,
+                            coords: DataFrame, precision: int = 6) -> DataFrame:
+    """Area AND line relation geometries in ONE applyInPandas pass: both
+    group by relation_id (a relation has exactly one kind), so running
+    them as separate stages costs an extra shuffle + Python stage for
+    nothing. Assembly semantics per kind are byte-identical to the split
+    paths (see _build_area_geom/_build_line_geom)."""
+    from .tiles import _spread
+
+    am = area_members.select(
+        "relation_id", F.col("member_ref").alias("way_id"),
+        F.coalesce("role", F.lit("outer")).alias("role"),
+        F.lit(0).alias("seq"), F.lit("area").alias("kind"),
     )
-    m = members.filter(F.col("member_type") == "way").select(
-        "relation_id", F.col("member_ref").alias("way_id"), "seq",
+    lm = line_members.filter(F.col("member_type") == "way").select(
+        "relation_id", F.col("member_ref").alias("way_id"),
         F.lower(F.coalesce("role", F.lit(""))).alias("role"),
-    ).join(coords, "way_id")
+        "seq", F.lit("line").alias("kind"),
+    )
+    m = am.unionByName(lm).join(coords.select("way_id", "lons", "lats"), "way_id")
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rid = int(key[0])
-        roles = sorted(pdf["role"].unique())
-        groups = [pdf] if len(roles) <= 1 else [pdf[pdf["role"] == r] for r in roles]
-        lines: list[list] = []
-        for grp in groups:
-            # MEMBER order, not way-id order: greedy chaining is
-            # order-sensitive and the reference consumes relation.members
-            # in sequence (relation-kind.ts:160-215)
-            ways_c = [
-                list(zip(r.lons, r.lats))
-                for r in grp.sort_values("seq").itertuples(index=False)
-            ]
-            lines.extend(_chain_open(ways_c))
-
-        def line_json(line):
-            return "[" + ",".join(
-                f"[{x:.{precision}f},{y:.{precision}f}]" for x, y in line
-            ) + "]"
-
-        if not lines:
-            geom = '{"type":"MultiLineString","coordinates":[]}'
-        elif len(lines) == 1:
-            geom = '{"type":"LineString","coordinates":' + line_json(lines[0]) + "}"
+        if pdf["kind"].iloc[0] == "area":
+            geom = _build_area_geom(pdf, precision)
         else:
-            geom = ('{"type":"MultiLineString","coordinates":['
-                    + ",".join(line_json(li) for li in lines) + "]}")
+            geom = _build_line_geom(pdf, precision)
         return pd.DataFrame([{"relation_id": rid, "geometry": geom}])
 
-    return m.groupBy("relation_id").applyInPandas(build, schema=_REL_GEOM_SCHEMA)
+    return _spread(m, "relation_id").groupBy("relation_id").applyInPandas(
+        build, schema=_REL_GEOM_SCHEMA
+    )
 
 
 def relations_to_features(relations: DataFrame, members: DataFrame,
                           ways: DataFrame, nodes: DataFrame,
-                          precision: int = 6) -> DataFrame:
+                          precision: int = 6,
+                          coords: DataFrame | None = None) -> DataFrame:
     """relationToFeature (entity-to-feature.ts:130-330) by relation kind.
 
     relations: (id, tags); members: (relation_id, member_type, member_ref,
     role, seq) — seq preserves the reference's member order for point
-    relations."""
+    relations. coords: optional shared way_coord_arrays frame."""
+    if coords is None:
+        coords = way_coord_arrays(ways, nodes)
     has_rel = members.filter(F.col("member_type") == "relation").select(
         F.col("relation_id").alias("id"), F.lit(True).alias("__hrm")
     ).distinct()
@@ -311,13 +335,10 @@ def relations_to_features(relations: DataFrame, members: DataFrame,
     area_members = members.join(
         area_ids.withColumnRenamed("id", "relation_id"), "relation_id", "left_semi"
     ).filter(F.col("member_type") == "way")
-    area_rings = rings_op.assemble_relation_rings(area_members, ways, nodes)
-    area_geom = _area_geometry_json(area_rings, precision)
-
     line_members = members.join(
         line_ids.withColumnRenamed("id", "relation_id"), "relation_id", "left_semi"
     )
-    line_geom = _line_geometry_json(line_members, ways, nodes, precision)
+    al_geom = _relation_geometry_json(area_members, line_members, coords, precision)
 
     # point relations: node members in member order (collectRelationPoints)
     pm = (
@@ -345,7 +366,7 @@ def relations_to_features(relations: DataFrame, members: DataFrame,
         ).alias("geometry"),
     )
 
-    geom = area_geom.unionByName(line_geom).unionByName(point_geom)
+    geom = al_geom.unionByName(point_geom)
     out = rel.join(geom.withColumnRenamed("relation_id", "id"), "id", "left")
     geometry = F.coalesce(
         F.col("geometry"),
@@ -370,16 +391,21 @@ def to_geojson_features(nodes: DataFrame | None = None, ways: DataFrame | None =
     """osmEntityToGeoJSONFeature over whole layers: union of the three
     feature classes as (id, entity_type, feature-json) rows."""
     frames = []
+    # ONE shared coordinate-resolution frame: the way path and both
+    # relation geometry paths reference the same subplan, so ReuseExchange
+    # materializes the resolve shuffle once
+    coords = way_coord_arrays(ways, nodes) if ways is not None and nodes is not None else None
     if nodes is not None:
         frames.append(nodes_to_features(nodes, precision))
     if ways is not None:
         if nodes is None:
             raise ValueError("ways need the node layer for coordinates")
-        frames.append(ways_to_features(ways, nodes, precision))
+        frames.append(ways_to_features(ways, nodes, precision, coords=coords))
     if relations is not None:
         if members is None or ways is None or nodes is None:
             raise ValueError("relations need members + ways + nodes")
-        frames.append(relations_to_features(relations, members, ways, nodes, precision))
+        frames.append(relations_to_features(relations, members, ways, nodes,
+                                            precision, coords=coords))
     if not frames:
         raise ValueError("at least one layer required")
     out = frames[0]

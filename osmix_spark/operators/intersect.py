@@ -173,13 +173,35 @@ def _haversine_np(lon1, lat1, lon2, lat2):
     return geo.EARTH_RADIUS_M * 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
 
 
-def find_intersection_points(ways: DataFrame, nodes: DataFrame, z: int = 13) -> DataFrame:
+def find_intersection_points(ways: DataFrame, nodes: DataFrame, z: int = 13,
+                             candidates: DataFrame | None = None) -> DataFrame:
     """Candidate pairs -> exact intersection points with per-way nearest-node
-    classification. Returns _POINT_SCHEMA rows."""
+    classification. Returns _POINT_SCHEMA rows.
+
+    candidates: optional 1-column DataFrame of way ids scoping the search,
+    mirroring `createIntersectionsForWays(modifiedPatch.ways)` in the final
+    merge stage (merge.ts:102-107): only pairs touching >=1 candidate way
+    are tested — the candidate is the outer-loop `way` (so it lands on the
+    a side, matching the reference's prefer-way-a node reuse), the whole
+    dataset is the bbox-searched index (changeset.ts:520-529). Two base
+    ways that crossed before the merge are NOT intersected. With candidates
+    the a side of the cover join is patch-sized, keeping stage 7
+    O(|patch| x local density) instead of O(|base|^2 density)."""
     wc = _way_coords(ways, nodes).filter(is_intersection_candidate(F.col("tags")))
     boxes = wc.select("id", "tags", "ordered_refs", "lons", "lats", "minx", "miny", "maxx", "maxy")
-    a = boxes.select(*[F.col(c).alias(f"a_{c}") for c in boxes.columns])
-    b = boxes.select(*[F.col(c).alias(f"b_{c}") for c in boxes.columns])
+    if candidates is not None:
+        cand_ids = candidates.select(
+            F.col(candidates.columns[0]).cast("long").alias("id")
+        ).distinct()
+        a_src = boxes.join(F.broadcast(cand_ids), "id", "left_semi")
+        b_src = boxes.join(
+            F.broadcast(cand_ids.withColumn("__cand", F.lit(True))), "id", "left"
+        ).withColumn("__cand", F.coalesce(F.col("__cand"), F.lit(False)))
+    else:
+        a_src = boxes
+        b_src = boxes.withColumn("__cand", F.lit(False))
+    a = a_src.select(*[F.col(c).alias(f"a_{c}") for c in a_src.columns])
+    b = b_src.select(*[F.col(c).alias(f"b_{c}") for c in b_src.columns])
     # exact adaptive-cover candidate join (no truncation for long ways)
     cands = spatial.overlap_candidate_pairs(
         a, b, z,
@@ -190,11 +212,21 @@ def find_intersection_points(ways: DataFrame, nodes: DataFrame, z: int = 13) -> 
         F.col("a_minx"), F.col("a_miny"), F.col("a_maxx"), F.col("a_maxy"),
         F.col("b_minx"), F.col("b_miny"), F.col("b_maxx"), F.col("b_maxy"),
     )
+    # IdPairs canonicalization: without candidates a_id < b_id; with them,
+    # one-sided pairs keep the candidate as way a, both-candidate pairs
+    # canonicalize by id
+    pair_once = (
+        F.col("a_id") < F.col("b_id")
+        if candidates is None
+        else (F.col("a_id") != F.col("b_id"))
+        & (~F.col("b___cand") | (F.col("a_id") < F.col("b_id")))
+    )
     pairs = (
-        cands.filter(F.col("a_id") < F.col("b_id"))
+        cands.filter(pair_once)
         .filter(overlap)
         .filter(ways_should_connect(F.col("a_tags"), F.col("b_tags")))
         .dropDuplicates(["a_id", "b_id"])
+        .drop("b___cand")
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,8 +264,13 @@ def find_intersection_points(ways: DataFrame, nodes: DataFrame, z: int = 13) -> 
     return pairs.mapInPandas(compute, schema=_POINT_SCHEMA)
 
 
-def create_intersections(ways: DataFrame, nodes: DataFrame, z: int = 13):
+def create_intersections(ways: DataFrame, nodes: DataFrame, z: int = 13,
+                         candidates: DataFrame | None = None):
     """Full J10: returns (new_nodes, updated_ways, tagged_node_ids, stats).
+
+    candidates: optional way-id scope (see find_intersection_points) — the
+    merge pipeline passes the deduped patch ways here so pre-existing
+    base-base crossings are left alone (merge.ts:102-107).
 
     new_nodes: (id, lon, lat, tags={crossing:yes}) with deterministic ids
     max(node id) + rank in (cell, px, py) order — parallel-safe via
@@ -243,7 +280,7 @@ def create_intersections(ways: DataFrame, nodes: DataFrame, z: int = 13):
     tagged_node_ids: existing node ids that gain crossing=yes.
     """
     spark = ways.sparkSession
-    pts = find_intersection_points(ways, nodes, z=z).cache()
+    pts = find_intersection_points(ways, nodes, z=z, candidates=candidates).cache()
 
     shared = pts.filter(
         F.col("near_a").isNotNull() & (F.col("near_a") == F.col("near_b"))

@@ -64,12 +64,22 @@ def tag_count(tags) -> F.Column:
 # ---------------------------------------------------------------------------
 
 def dedupe_nodes(nodes: DataFrame, radius_m: float = DEDUPE_RADIUS_M,
-                 z: int | None = None) -> DataFrame:
+                 z: int | None = None,
+                 candidates: DataFrame | None = None) -> DataFrame:
     """Replacement map (from_id -> to_id) for coincident nodes.
 
     nodes: (id, lon, lat, tags). Pairs within radius_m compete; the loser of
     each pair maps to the winner; chains are flattened so every from_id maps
     to its final survivor. Returns DataFrame(from_id, to_id).
+
+    candidates: optional 1-column DataFrame of node ids scoping the search,
+    mirroring the reference's `deduplicateNodes(modifiedPatch.nodes)` in the
+    final merge stage (merge.ts:94-99): only pairs touching >=1 candidate
+    compete — the candidate is the outer-loop `node`, the whole dataset is
+    the radius-searched index (changeset.ts:244-250). With candidates the
+    exploded (x9 cells) side is the candidate set, so the stage is
+    O(|patch| x local density), not O(|dataset|) — the property that keeps
+    stage 6 patch-sized when merging a city patch into a planet base.
     """
     if z is None:
         z = spatial.zoom_for_radius(radius_m, lat_hint=60.0)
@@ -80,19 +90,39 @@ def dedupe_nodes(nodes: DataFrame, radius_m: float = DEDUPE_RADIUS_M,
         entity_version(F.col("tags")).alias("version"),
         tag_count(F.col("tags")).alias("ntags"),
     )
+    if candidates is None:
+        a_src = ranked
+        b_src = ranked.withColumn("__cand", F.lit(False))
+    else:
+        cand = candidates.select(
+            F.col(candidates.columns[0]).cast("long").alias("id")
+        ).distinct()
+        a_src = ranked.join(F.broadcast(cand), "id", "left_semi")
+        b_src = ranked.join(
+            F.broadcast(cand.withColumn("__cand", F.lit(True))), "id", "left"
+        ).withColumn("__cand", F.coalesce(F.col("__cand"), F.lit(False)))
     a = spatial._explode_neighbors(
-        ranked.select(*[F.col(c).alias(f"a_{c}") for c in ranked.columns]),
+        a_src.select(*[F.col(c).alias(f"a_{c}") for c in a_src.columns]),
         "a_lon", "a_lat", z,
     )
-    b = ranked.select(*[F.col(c).alias(f"b_{c}") for c in ranked.columns]).withColumn(
+    b = b_src.select(*[F.col(c).alias(f"b_{c}") for c in b_src.columns]).withColumn(
         "__cell", geo.cell_key(F.col("b_lon"), F.col("b_lat"), F.lit(z))
     )
     dist = geo.haversine_m(F.col("a_lon"), F.col("a_lat"), F.col("b_lon"), F.col("b_lat"))
+    # symmetric pair dedupe (IdPairs): without candidates the canonical order
+    # is a_id < b_id; with candidates, one-sided pairs keep the candidate on
+    # the a side and both-candidate pairs canonicalize by id
+    pair_once = (
+        F.col("a_id") < F.col("b_id")
+        if candidates is None
+        else (F.col("a_id") != F.col("b_id"))
+        & (~F.col("b___cand") | (F.col("a_id") < F.col("b_id")))
+    )
     pairs = (
         a.join(b, "__cell")
-        .filter(F.col("a_id") < F.col("b_id"))  # symmetric pair dedupe (IdPairs)
+        .filter(pair_once)
         .filter(dist <= radius_m)
-        .drop("__cell")
+        .drop("__cell", "b___cand")
         .distinct()
     )
     # the winner of a pair by the reference's rule
@@ -263,7 +293,8 @@ def rewrite_relation_members(relations: DataFrame, node_repl: DataFrame | None =
 # J8 — duplicate-way dedupe
 # ---------------------------------------------------------------------------
 
-def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+def dedupe_ways(ways: DataFrame, nodes: DataFrame,
+                candidates: DataFrame | None = None) -> DataFrame:
     """Replacement map (from way id -> surviving way id) for duplicate ways
     (changeset.ts:440-511). Two candidate paths, exactly as the reference:
 
@@ -282,6 +313,15 @@ def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     node rule's `>=` tie (changeset.ts:276-287).
 
     ways: (id, refs, tags); nodes: (id, lon, lat, ...).
+
+    candidates: optional 1-column DataFrame of way ids scoping the search,
+    mirroring `deduplicateWays(modifiedPatch.ways)` in the final merge stage
+    (merge.ts:86-92): only duplicate pairs touching >=1 candidate compete
+    (the candidate is the outer-loop way, the whole dataset the duplicate
+    index — changeset.ts:389-396). Candidate-scoped pairs go through the
+    same winner rule pairwise, then chain flattening, so a candidate chain
+    into a non-candidate survivor resolves identically; the hash-group scan
+    stays O(|dataset|) but the pair fan-out is O(|patch| x dup-group size).
     """
     refs = ways.select("id", F.posexplode("refs").alias("seq", "ref"))
     coords = (
@@ -326,7 +366,57 @@ def dedupe_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         losers = groups.filter(F.col("__rn") > 1).select(key, F.col("id").alias("from_id"))
         return losers.join(winners, key).select("from_id", "to_id", "w_version", "w_ntags")
 
-    both = group_map("geom_hash").unionByName(group_map("prop_hash"))
+    def pair_map(key: str, cand_ids: DataFrame) -> DataFrame:
+        """Candidate-scoped pairwise variant of group_map: each candidate
+        way pairs with every same-hash way; winner per pair by the same
+        (version, ntags, max-id) rule. Equivalent to group_map after chain
+        flattening when every way is a candidate."""
+        cols = [F.col("id").alias("a_id"), F.col("version").alias("a_version"),
+                F.col("ntags").alias("a_ntags"), F.col(key)]
+        a = (
+            ranked.join(F.broadcast(cand_ids), "id", "left_semi")
+            .filter(F.col(key).isNotNull()).select(*cols)
+        )
+        b = (
+            ranked.filter(F.col(key).isNotNull())
+            .join(F.broadcast(cand_ids.withColumn("__cand", F.lit(True))), "id", "left")
+            .select(
+                F.col("id").alias("b_id"), F.col("version").alias("b_version"),
+                F.col("ntags").alias("b_ntags"), F.col(key),
+                F.coalesce(F.col("__cand"), F.lit(False)).alias("__b_cand"),
+            )
+        )
+        p = (
+            a.join(b, key)
+            .filter(F.col("a_id") != F.col("b_id"))
+            # IdPairs: both-candidate pairs once (canonical by id); one-sided
+            # pairs keep the candidate on the a side
+            .filter(~F.col("__b_cand") | (F.col("a_id") < F.col("b_id")))
+        )
+        a_wins = (
+            (F.col("a_version") > F.col("b_version"))
+            | ((F.col("a_version") == F.col("b_version"))
+               & (F.col("a_ntags") > F.col("b_ntags")))
+            | ((F.col("a_version") == F.col("b_version"))
+               & (F.col("a_ntags") == F.col("b_ntags"))
+               & (F.col("a_id") > F.col("b_id")))
+        )
+        return p.select(
+            F.when(a_wins, F.col("b_id")).otherwise(F.col("a_id")).alias("from_id"),
+            F.when(a_wins, F.col("a_id")).otherwise(F.col("b_id")).alias("to_id"),
+            F.when(a_wins, F.col("a_version")).otherwise(F.col("b_version")).alias("w_version"),
+            F.when(a_wins, F.col("a_ntags")).otherwise(F.col("b_ntags")).alias("w_ntags"),
+        ).distinct()
+
+    if candidates is None:
+        both = group_map("geom_hash").unionByName(group_map("prop_hash"))
+    else:
+        cand_ids = candidates.select(
+            F.col(candidates.columns[0]).cast("long").alias("id")
+        ).distinct()
+        both = pair_map("geom_hash", cand_ids).unionByName(
+            pair_map("prop_hash", cand_ids)
+        )
     # a way claimed by both paths keeps the better winner (then max id)
     w = Window.partitionBy("from_id").orderBy(
         F.desc("w_version"), F.desc("w_ntags"), F.desc("to_id")

@@ -49,7 +49,8 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
                    base_relations: DataFrame | None = None,
                    patch_relations: DataFrame | None = None,
                    dedupe_final_ways: bool = False,
-                   dedupe_final_nodes: bool = True):
+                   dedupe_final_nodes: bool = True,
+                   patch_scope_final: bool = True):
     """-> (nodes, ways, stats), or (nodes, ways, relations, stats) when
     either relations frame is given. With checkpoint_dir set, each stage is
     a lineage-verified checkpoint (resume_or_run semantics).
@@ -65,7 +66,19 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
     stages (merge.ts:86-103): way dedupe runs FIRST, folding
     cross-dataset duplicate ways that per-dataset cleaning cannot see
     (reference default is off; ours keeps the node stage on for
-    backward compatibility with the oracle-pinned pipeline)."""
+    backward compatibility with the oracle-pinned pipeline).
+
+    patch_scope_final (default True = reference semantics): stages 6-7
+    scope their candidate sets to the deduped PATCH — merge.ts:86-92
+    passes modifiedPatch.ways to the final deduplicateWays, :94-99
+    modifiedPatch.nodes to deduplicateNodes, and :102-107
+    modifiedPatch.ways to createIntersectionsForWays. For dedupe this is
+    result-identical to a whole-dataset pass (stages 1-4 already folded
+    intra-dataset pairs, so any surviving pair touches the patch) but for
+    intersections it is semantic: two base ways that crossed before the
+    merge must NOT get a new crossing node. It also keeps stages 6-7
+    O(patch) instead of O(base) at planet scale. False restores the
+    whole-dataset sweep (a repair mode the reference does not have)."""
     spark = base_nodes.sparkSession
     stats: dict = {}
 
@@ -104,8 +117,10 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
     # OsmMergeOptions.deduplicateWays/deduplicateNodes): a base and patch
     # that are each internally clean can still contribute cross-dataset
     # duplicate ways, which only this stage can fold
+    patch_way_ids = p_ways.select("id") if patch_scope_final else None
+    patch_node_ids = p_nodes.select("id") if patch_scope_final else None
     if dedupe_final_ways:
-        way_repl = merge.dedupe_ways(ways, nodes)
+        way_repl = merge.dedupe_ways(ways, nodes, candidates=patch_way_ids)
         stats["deduplicated_ways"] = way_repl.count()
         ways = ways.join(
             way_repl.select(F.col("from_id").alias("id")), "id", "left_anti"
@@ -113,7 +128,7 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
         if relations is not None:
             relations = merge.rewrite_relation_members(relations, way_repl=way_repl)
     if dedupe_final_nodes:
-        node_repl = merge.dedupe_nodes(nodes)
+        node_repl = merge.dedupe_nodes(nodes, candidates=patch_node_ids)
         stats["deduplicated_nodes"] = node_repl.count()
         ways = merge.rewrite_way_refs(ways, node_repl)
         if relations is not None:
@@ -123,9 +138,13 @@ def merge_datasets(base_nodes: DataFrame, base_ways: DataFrame,
         )
     nodes = ckpt(nodes, "merged_nodes", "id")
 
-    # stage 7: intersections
+    # stage 7: intersections — candidate ways scoped to the patch
+    # (merge.ts:102-107); base-base crossings that predate the merge are
+    # intentionally left alone
     if create_intersections:
-        new_nodes, ways, tagged, istats = intersect.create_intersections(ways, nodes)
+        new_nodes, ways, tagged, istats = intersect.create_intersections(
+            ways, nodes, candidates=patch_way_ids
+        )
         stats.update(istats)
         # created nodes join the dataset; reused/shared nodes gain the tag
         nodes = nodes.unionByName(new_nodes)
