@@ -126,24 +126,25 @@ def extract(
     )
     surviving = entity_members.select("relation_id").distinct()
     rel_members = relation_members.filter(F.col("member_type") == "relation")
-    kept_rel_members = None
     for _ in range(10):
         step = rel_members.join(
             surviving.withColumnRenamed("relation_id", "member_ref"),
             "member_ref", "left_semi",
-        )
-        kept_rel_members = (
-            step if kept_rel_members is None
-            else kept_rel_members.unionByName(step)
         )
         grown = surviving.unionByName(step.select("relation_id")).distinct()
         if grown.exceptAll(surviving).isEmpty():
             surviving = grown
             break
         surviving = grown
-    kept_members = entity_members
-    if kept_rel_members is not None:
-        kept_members = kept_members.unionByName(kept_rel_members).distinct()
+    # kept member rows are computed ONCE from the converged survivor set —
+    # no per-iteration accumulation, and no distinct(): OSM allows the same
+    # (type, ref, role) member to repeat within a relation and the
+    # reference's members.filter preserves those duplicates
+    kept_rel_members = rel_members.join(
+        surviving.withColumnRenamed("relation_id", "member_ref"),
+        "member_ref", "left_semi",
+    )
+    kept_members = entity_members.unionByName(kept_rel_members)
     out_relations = relations.join(
         surviving.withColumnRenamed("relation_id", "id"), "id", "left_semi"
     )

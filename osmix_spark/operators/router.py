@@ -266,12 +266,33 @@ def bidirectional_distance(edges: DataFrame, source: int, target: int,
         fr_f, fr_b = new_f, new_b
         if (round_i + 1) % probe_every != 0:
             continue
-        # tighten mu with meetings over the FULL dist tables (with k > 1,
-        # meetings from unprobed rounds must still be seen)
+        if probe_every == 1:
+            # every round is probed, so any NEW meeting involves a node
+            # improved THIS round on at least one side — probing
+            # improvements x other-dist is sufficient and strictly cheaper
+            # than the full dist_f x dist_b join (round-4 ADVICE)
+            parts = []
+            if new_f is not None:
+                parts.append(
+                    new_f.select("node", F.col("dist").alias("df")).join(
+                        dist_b.select("node", F.col("dist").alias("db")), "node"
+                    )
+                )
+            if new_b is not None:
+                parts.append(
+                    dist_f.select("node", F.col("dist").alias("df")).join(
+                        new_b.select("node", F.col("dist").alias("db")), "node"
+                    )
+                )
+            cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        else:
+            # with k > 1, meetings from unprobed rounds must still be seen:
+            # probe the FULL dist tables
+            cand = dist_f.select("node", F.col("dist").alias("df")).join(
+                dist_b.select("node", F.col("dist").alias("db")), "node"
+            )
         top = (
-            dist_f.select("node", F.col("dist").alias("df"))
-            .join(dist_b.select("node", F.col("dist").alias("db")), "node")
-            .select("node", (F.col("df") + F.col("db")).alias("mu"))
+            cand.select("node", (F.col("df") + F.col("db")).alias("mu"))
             .orderBy("mu", "node").limit(1).collect()
         )
         if top and (mu is None or float(top[0]["mu"]) < mu):

@@ -77,9 +77,17 @@ MVT_SCHEMA = T.StructType(
 
 def encode_point_mvt(points_px: DataFrame, layer: str = "points",
                      id_col: str = "id",
-                     tag_cols: tuple[str, ...] = ()) -> DataFrame:
+                     tag_cols: tuple[str, ...] = (),
+                     stats_only: bool = False) -> DataFrame:
     """points_px: output of point_tile_px (z, tx, ty, px, py, id, tags...).
-    Returns the materialized tile table with deterministic bytes."""
+    Returns the materialized tile table with deterministic bytes.
+
+    stats_only=True decodes each just-encoded tile IN this pass and emits
+    MVT_STATS_SCHEMA rows instead of the tile table — same fusion as
+    merge_way_frames: the stats shadow query otherwise ships every tile's
+    bytes across the Arrow boundary twice (Python encode -> JVM -> Python
+    decode). The decode runs on the very buffer just assembled, so the
+    codec is exercised identically."""
     cols = ["z", "tx", "ty", id_col, "px", "py", *tag_cols]
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -115,6 +123,11 @@ def encode_point_mvt(points_px: DataFrame, layer: str = "points",
                 )
             buf = mvt.encode_tile({layer: feats})
             n = len(feats)
+        if stats_only:
+            s = mvt.decode_tile_stats_np(buf).get(layer)
+            if s is None or not s["n_features"]:
+                return pd.DataFrame(columns=[f.name for f in MVT_STATS_SCHEMA.fields])
+            return pd.DataFrame([{"z": z, "tx": tx, "ty": ty, **s}])
         h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
         return pd.DataFrame(
             [
@@ -129,7 +142,7 @@ def encode_point_mvt(points_px: DataFrame, layer: str = "points",
     return (
         _spread(points_px.select(*cols), "z", "tx", "ty")
         .groupBy("z", "tx", "ty")
-        .applyInPandas(encode, schema=MVT_SCHEMA)
+        .applyInPandas(encode, schema=MVT_STATS_SCHEMA if stats_only else MVT_SCHEMA)
     )
 
 
@@ -154,7 +167,14 @@ def encode_way_mvt(ways_px: DataFrame, layer: str = "ways",
     CPU-heavy Python stage into 1-2 tasks and serialize it), and each
     partition encodes ALL its groups in one vectorized pass — a single
     encode_line_frames_np call sliced per group by per-feature frame byte
-    lengths — instead of paying per-group pandas overhead."""
+    lengths — instead of paying per-group pandas overhead.
+
+    Contract: a tile whose EVERY feature degenerates under cleanCoords
+    (<2 distinct points) emits NO row — the materialized tile table never
+    contains feature-less tiles, matching the reference encoder skipping
+    degenerate geometry (vt/encode.ts). Pinned in
+    tests/test_tiles.py::test_fully_degenerate_tile_emits_no_row for both
+    this path and encode_way_mvt_vertices."""
     lo, hi = -mvt.BUFFER_PX, mvt.EXTENT + mvt.BUFFER_PX
 
     def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

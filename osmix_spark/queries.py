@@ -1532,8 +1532,10 @@ def tile_mvt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _doc_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
     px = _tiles.point_tile_px(pts, z=13)
-    tiles = _tiles.encode_point_mvt(px)
-    return _tiles.mvt_decoded_stats(tiles, layer="points")
+    # stats_only fuses the decode into the encode pass (same codec
+    # exercise, one less tile-bytes Arrow round-trip — the way path got
+    # this fusion in round 4, the point path kept paying for it)
+    return _tiles.encode_point_mvt(px, stats_only=True)
 
 
 _GRID_LON_SQL = "(-120.0 + ((p_partkey * 37) % 500)::DOUBLE * 0.0005)"

@@ -171,3 +171,34 @@ def test_smart_does_not_extend_non_multipolygon(spark):
         assert {x["id"] for x in n.collect()} == {1}, strat
         assert {x["id"] for x in r.collect()} == {400}, strat
         assert _members_of(m, 400) == {("node", 1)}, strat
+
+
+def test_duplicate_relation_members_preserved(spark):
+    """Round-4 ADVICE: OSM allows the same (type, ref, role) member twice
+    in one relation and the reference's members.filter preserves the
+    duplicates — return_members must not collapse them."""
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0, None), (2, 0.5, 0.5, None)], fixtures.NODE_SCHEMA
+    )
+    ways = spark.createDataFrame([(10, [1, 2], None)], fixtures.WAY_SCHEMA)
+    relations = spark.createDataFrame(
+        [(200, {"type": "route"})], "id long, tags map<string,string>"
+    )
+    # way 10 appears TWICE with identical role (legal: e.g. an out-and-back
+    # route leg), plus a repeated node member
+    members = spark.createDataFrame(
+        [(200, "way", 10, "forward"), (200, "way", 10, "forward"),
+         (200, "node", 1, "stop"), (200, "node", 1, "stop")],
+        "relation_id long, member_type string, member_ref long, role string",
+    )
+    bbox = (-0.1, -0.1, 1.0, 1.0)
+    for strat in ("simple", "complete_ways", "smart"):
+        _n, _w, _r, m = extract.extract(
+            nodes, ways, *bbox, strategy=strat,
+            relations=relations, relation_members=members, return_members=True,
+        )
+        rows = [(r["member_type"], r["member_ref"], r["role"]) for r in m.collect()]
+        assert sorted(rows) == [
+            ("node", 1, "stop"), ("node", 1, "stop"),
+            ("way", 10, "forward"), ("way", 10, "forward"),
+        ], strat

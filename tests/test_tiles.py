@@ -393,3 +393,39 @@ def test_layer_matches_expr_equals_column_builder(spark, sf_dir):
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_fully_degenerate_tile_emits_no_row(spark):
+    """Pinned contract (round-4 ADVICE): a tile whose every feature
+    collapses under cleanCoords (all vertices identical -> <2 points) is
+    DROPPED from the materialized tile table — matching the reference
+    encoder, which skips degenerate geometry (vt/encode.ts) and never
+    materializes feature-less tiles. Both the exploded-array and
+    vertex-direct paths agree."""
+    from osmix_spark.sources import fixtures
+
+    # way 1: all four vertices at one point (degenerate, lands in the
+    # western z1 tile); way 2: a real segment in the eastern z1 tile
+    nodes = spark.createDataFrame(
+        [
+            (1, -10.0, 10.0, None), (2, -10.0, 10.0, None),
+            (3, 10.0, 10.0, None), (4, 20.0, 10.0, None),
+        ],
+        fixtures.NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [(1, [1, 2, 1], None), (2, [3, 4], None)], fixtures.WAY_SCHEMA
+    )
+    enc = tiles.encode_way_mvt(tiles.way_tile_px(ways, nodes, z=1)).collect()
+    assert {(r["tx"], r["ty"]) for r in enc} == {(1, 0)}
+    assert all(r["n_features"] == 1 for r in enc)
+
+    from pyspark.sql import functions as F
+    refs = ways.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("s1", "ref")
+    ).withColumn("s2", F.col("s1"))
+    verts = refs.join(
+        nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref"
+    ).select("way_id", "s1", "s2", "lon", "lat")
+    enc2 = tiles.encode_way_mvt_vertices(verts, z=1).collect()
+    assert {(r["tx"], r["ty"]) for r in enc2} == {(1, 0)}
