@@ -407,6 +407,28 @@ def encode_way_mvt_vertices(verts: DataFrame, z: int, layer: str = "ways",
         boffs = np.zeros(len(gstarts), dtype=np.int64)
         np.cumsum(g_blen[:-1], out=boffs[1:])
         buf = memoryview(frames)
+        if stats_only:
+            # Decode each just-encoded (tile, block) blob HERE — the codec
+            # is exercised on the exact bytes assembled above — and emit
+            # per-block partial stats. Every stat is distributive (sums,
+            # mins, maxes over decoded vertices), so the tile-level rollup
+            # is a JVM-side groupBy below: no 40MB frames shuffle, no
+            # second Python stage, and the decode parallelism follows the
+            # balanced way-block partitioning instead of tile skew.
+            rows = []
+            for g, (o, l) in enumerate(zip(boffs, g_blen)):
+                blob = mvt._len_delim(
+                    3, mvt.layer_wrap(layer, bytes(buf[int(o) : int(o + l)]))
+                )
+                s = mvt.decode_tile_stats_np(blob).get(layer)
+                if s is not None and s["n_features"]:
+                    rows.append(
+                        {"z": zz, "tx": int(gtx[gstarts[g]]),
+                         "ty": int(gty[gstarts[g]]), **s}
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=_STATS_COLS)
+            return
         yield pd.DataFrame(
             {
                 "z": np.full(len(gstarts), zz, dtype="int32"),
@@ -419,11 +441,31 @@ def encode_way_mvt_vertices(verts: DataFrame, z: int, layer: str = "ways",
             }
         )
 
+    if stats_only:
+        partials = dist.mapInPandas(
+            encode_verts,
+            schema=(
+                "z int, tx long, ty long, n_features long, n_vertices long,"
+                " sum_px long, sum_py long, min_px long, max_px long,"
+                " min_py long, max_py long, sum_ids long"
+            ),
+        )
+        return partials.groupBy("z", "tx", "ty").agg(
+            F.sum("n_features").alias("n_features"),
+            F.sum("n_vertices").alias("n_vertices"),
+            F.sum("sum_px").alias("sum_px"),
+            F.sum("sum_py").alias("sum_py"),
+            F.min("min_px").alias("min_px"),
+            F.max("max_px").alias("max_px"),
+            F.min("min_py").alias("min_py"),
+            F.max("max_py").alias("max_py"),
+            F.sum("sum_ids").alias("sum_ids"),
+        )
     stage1 = dist.mapInPandas(
         encode_verts,
         schema="z int, tx long, ty long, blk long, n int, frames binary",
     )
-    return merge_way_frames(stage1, layer, stats_only=stats_only)
+    return merge_way_frames(stage1, layer)
 
 
 def merge_way_frames(stage1: DataFrame, layer: str = "ways",
@@ -1178,6 +1220,11 @@ def ring_tile_px(rings: DataFrame, z: int, extent: int = mvt.EXTENT) -> DataFram
 # green hash proves the encode->decode path bit-exactly: projection,
 # rounding, clamping, cleanCoords, zigzag/delta codec)
 # ---------------------------------------------------------------------------
+
+_STATS_COLS = [
+    "z", "tx", "ty", "n_features", "n_vertices", "sum_px", "sum_py",
+    "min_px", "max_px", "min_py", "max_py", "sum_ids",
+]
 
 MVT_STATS_SCHEMA = T.StructType(
     [

@@ -274,6 +274,28 @@ def test_vertex_direct_way_encode_bytes_identical(spark):
     for k in old:
         assert old[k] == new[k]
 
+    # stats_only (per-block decode fused into the encode pass + JVM-side
+    # distributive rollup) must equal decoding the materialized tiles
+    fused = {
+        (r["z"], r["tx"], r["ty"]): tuple(
+            r[f] for f in ("n_features", "n_vertices", "sum_px", "sum_py",
+                           "min_px", "max_px", "min_py", "max_py", "sum_ids")
+        )
+        for r in tiles.encode_way_mvt_vertices(
+            verts, z=12, stats_only=True
+        ).collect()
+    }
+    decoded = {
+        (r["z"], r["tx"], r["ty"]): tuple(
+            r[f] for f in ("n_features", "n_vertices", "sum_px", "sum_py",
+                           "min_px", "max_px", "min_py", "max_py", "sum_ids")
+        )
+        for r in tiles.mvt_decoded_stats(
+            tiles.encode_way_mvt_vertices(verts, z=12), layer="ways"
+        ).collect()
+    }
+    assert fused == decoded and len(fused) > 0
+
 
 def test_ring_tile_px_replicates_holes(spark):
     rings = spark.createDataFrame(
