@@ -248,6 +248,31 @@ _AREA_TYPES = ("multipolygon", "boundary", "site")
 _LINE_TYPES = ("route", "waterway", "multilinestring", "canal")
 
 
+def way_is_area_sql(tags_sql: str, is_closed_sql: str) -> str:
+    """SQL-text twin of way_is_area for latency-sensitive builders: one
+    F.expr(way_is_area_sql(...)) costs a single py4j round-trip where the
+    Column version pays ~50 (one per function call). Same semantics,
+    including null propagation (a null `in` result ORs/cases exactly like
+    the Column version's isin)."""
+    conds = []
+    for k, blacklist in _AREA_KEYS.items():
+        v = f"element_at({tags_sql}, '{k}')"
+        if k == "waterway":  # whitelist: only these waterway values are areas
+            vals = ", ".join(f"'{b}'" for b in blacklist)
+            conds.append(f"{v} in ({vals})")
+        elif blacklist:
+            vals = ", ".join(f"'{b}'" for b in blacklist)
+            conds.append(f"({v} is not null and {v} not in ({vals}))")
+        else:
+            conds.append(f"{v} is not null")
+    keyed = "(false or " + " or ".join(conds) + ")"
+    at = f"element_at({tags_sql}, 'area')"
+    return (
+        f"(({is_closed_sql}) and (case when {at} = 'yes' then true"
+        f" when {at} = 'no' then false else {keyed} end))"
+    )
+
+
 def relation_kind(tags: Column, has_relation_member: Column) -> Column:
     """area | line | point | super | logic, exactly the reference's CASE
     order: typed area/line/point first, then super (has relation members),

@@ -42,51 +42,53 @@ from pyspark.sql import types as T
 from ..functions import geo
 
 
-def _fmt(c: Column, precision: int) -> Column:
-    return F.format_string(f"%.{precision}f", c)
+def _fmt_sql(sql: str, precision: int) -> str:
+    return f"format_string('%.{precision}f', {sql})"
 
 
-def _props_json(id_col: Column, etype: str, tags: Column) -> Column:
+def _props_json_sql(etype: str, id_sql: str = "id", tags_sql: str = "tags") -> str:
     """{"id":<id>,"type":<t>,...sorted tags} — JS-spread semantics
     ({id, type, ...tags}, entity-to-feature.ts:54-58): a `type` tag
     OVERRIDES the entity-type value, and `id`/`type` tag entries don't
     repeat in the body. Tag entries serialize via to_json (JVM-side
-    escaping), keys sorted for determinism."""
-    # escape the type-tag value like the id-tag override below (the
-    # reference JSON.stringify's it): a quote/backslash in a `type` tag must
-    # not produce invalid JSON
-    type_tag = F.element_at(tags, F.lit("type"))
-    type_tag_json = F.to_json(F.array(type_tag))
-    type_val = F.when(
-        type_tag.isNotNull(),
-        # strip the surrounding [" and "] — caller wraps in quotes
-        type_tag_json.substr(F.lit(3), F.length(type_tag_json) - 4),
-    ).otherwise(F.lit(etype))
-    filtered = F.map_filter(tags, lambda k, _v: (k != "id") & (k != "type"))
-    sorted_tags = F.map_from_entries(F.array_sort(F.map_entries(filtered)))
-    tj = F.to_json(sorted_tags)
-    rest = F.when(
-        filtered.isNotNull() & (F.size(filtered) > 0),
-        F.concat(F.lit(","), tj.substr(F.lit(2), F.length(tj) - 2)),
-    ).otherwise(F.lit(""))
-    # an `id` TAG overrides the numeric id value too (JS spread); escape it
-    # via to_json on a singleton array and strip the brackets
-    id_tag = F.element_at(tags, F.lit("id"))
-    id_tag_json = F.to_json(F.array(id_tag))
-    id_val = F.when(
-        id_tag.isNotNull(), id_tag_json.substr(F.lit(2), F.length(id_tag_json) - 2)
-    ).otherwise(id_col.cast("string"))
-    return F.concat(
-        F.lit('{"id":'), id_val,
-        F.lit(',"type":"'), type_val, F.lit('"'), rest, F.lit("}"),
+    escaping), keys sorted for determinism.
+
+    Emitted as SQL TEXT (the whole property object is one F.expr): the
+    Column-object version of this builder plus _feature_json cost ~100
+    py4j round-trips per feature class — ~0.3s of driver latency per
+    query on a fixed-size export."""
+    # escape the type-tag value exactly like the id-tag override (the
+    # reference JSON.stringify's it): to_json on a singleton array, then
+    # strip the surrounding [" / "] (caller wraps in quotes)
+    tt = f"element_at({tags_sql}, 'type')"
+    ttj = f"to_json(array({tt}))"
+    it = f"element_at({tags_sql}, 'id')"
+    itj = f"to_json(array({it}))"
+    mf = f"map_filter({tags_sql}, (k, v) -> k != 'id' and k != 'type')"
+    tj = f"to_json(map_from_entries(array_sort(map_entries({mf}))))"
+    return (
+        "concat('{\"id\":', "
+        f"case when {it} is not null then substr({itj}, 2, length({itj}) - 2)"
+        f" else cast({id_sql} as string) end, "
+        "',\"type\":\"', "
+        f"case when {tt} is not null then substr({ttj}, 3, length({ttj}) - 4)"
+        f" else '{etype}' end, "
+        "'\"', "
+        f"case when {mf} is not null and size({mf}) > 0"
+        f" then concat(',', substr({tj}, 2, length({tj}) - 2)) else '' end, "
+        "'}')"
     )
 
 
-def _feature_json(id_col: Column, geometry: Column, props: Column) -> Column:
-    return F.concat(
-        F.lit('{"type":"Feature","id":'), id_col.cast("string"),
-        F.lit(',"geometry":'), geometry,
-        F.lit(',"properties":'), props, F.lit("}"),
+def _feature_json_sql(id_sql: str, geometry_sql: str, props_sql: str) -> str:
+    return (
+        "concat('{\"type\":\"Feature\",\"id\":', "
+        f"cast({id_sql} as string), "
+        "',\"geometry\":', "
+        f"{geometry_sql}, "
+        "',\"properties\":', "
+        f"{props_sql}, "
+        "'}')"
     )
 
 
@@ -109,16 +111,15 @@ def way_coord_arrays(ways: DataFrame, nodes: DataFrame) -> DataFrame:
 
 def nodes_to_features(nodes: DataFrame, precision: int = 6) -> DataFrame:
     """nodeToFeature (entity-to-feature.ts:45-60): (id, lon, lat, tags) ->
-    (id, entity_type, feature json). Pure Catalyst."""
-    geometry = F.concat(
-        F.lit('{"type":"Point","coordinates":['),
-        _fmt(F.col("lon"), precision), F.lit(","), _fmt(F.col("lat"), precision),
-        F.lit("]}"),
+    (id, entity_type, feature json). Pure Catalyst (one selectExpr)."""
+    geometry = (
+        "concat('{\"type\":\"Point\",\"coordinates\":[', "
+        f"{_fmt_sql('lon', precision)}, ',', {_fmt_sql('lat', precision)}, ']}}')"
     )
-    return nodes.select(
-        F.col("id"),
-        F.lit("node").alias("entity_type"),
-        _feature_json(F.col("id"), geometry, _props_json(F.col("id"), "node", F.col("tags"))).alias("feature"),
+    return nodes.selectExpr(
+        "id",
+        "'node' as entity_type",
+        _feature_json_sql("id", geometry, _props_json_sql("node")) + " as feature",
     )
 
 
@@ -134,31 +135,23 @@ def ways_to_features(ways: DataFrame, nodes: DataFrame, precision: int = 6,
         F.col("way_id").alias("id"), "lons", "lats"
     )
     w = ways.join(resolved, "id")
-    coords_json = F.concat(
-        F.lit("["),
-        F.array_join(
-            F.zip_with(
-                F.col("lons"), F.col("lats"),
-                lambda x, y: F.concat(F.lit("["), _fmt(x, precision), F.lit(","),
-                                      _fmt(y, precision), F.lit("]")),
-            ),
-            ",",
-        ),
-        F.lit("]"),
+    fx, fy = _fmt_sql("x", precision), _fmt_sql("y", precision)
+    coords_json = (
+        "concat('[', array_join(zip_with(lons, lats, "
+        f"(x, y) -> concat('[', {fx}, ',', {fy}, ']')), ','), ']')"
     )
-    is_closed = (F.size("refs") >= 4) & (
-        F.element_at("refs", 1) == F.element_at("refs", -1)
+    is_closed = "(size(refs) >= 4 and element_at(refs, 1) = element_at(refs, -1))"
+    geometry = (
+        f"case when {geo.way_is_area_sql('tags', is_closed)} then "
+        "concat('{\"type\":\"Polygon\",\"coordinates\":[', "
+        f"{coords_json}, ']}}') else "
+        "concat('{\"type\":\"LineString\",\"coordinates\":', "
+        f"{coords_json}, '}}') end"
     )
-    geometry = F.when(
-        geo.way_is_area(F.col("tags"), is_closed),
-        F.concat(F.lit('{"type":"Polygon","coordinates":['), coords_json, F.lit("]}")),
-    ).otherwise(
-        F.concat(F.lit('{"type":"LineString","coordinates":'), coords_json, F.lit("}"))
-    )
-    return w.select(
+    return w.selectExpr(
         "id",
-        F.lit("way").alias("entity_type"),
-        _feature_json(F.col("id"), geometry, _props_json(F.col("id"), "way", F.col("tags"))).alias("feature"),
+        "'way' as entity_type",
+        _feature_json_sql("id", geometry, _props_json_sql("way")) + " as feature",
     )
 
 
@@ -276,31 +269,61 @@ def _build_line_geom(pdf: pd.DataFrame, precision: int) -> str:
             + ",".join(line_json(li) for li in lines) + "]}")
 
 
+def _build_point_geom(pdf: pd.DataFrame, precision: int) -> str:
+    """collectRelationPoints (entity-to-feature.ts): node members in member
+    order. Formatting note: Python's f"{x:.Nf}" and the JVM's
+    format_string("%.Nf") both correctly round the exact binary double
+    (Java goes through BigDecimal(double)), and a double can never sit
+    exactly on a decimal rounding tie, so the two are byte-identical —
+    this builder replaced a Catalyst concat path without an oracle diff."""
+    verts = sorted(
+        (r.seq, r.lons[0], r.lats[0]) for r in pdf.itertuples(index=False)
+    )  # (seq, lon, lat) — matches the former array_sort(struct(...)) order
+    pts = [f"[{x:.{precision}f},{y:.{precision}f}]" for _, x, y in verts]
+    if len(pts) == 1:
+        return '{"type":"Point","coordinates":' + pts[0] + "}"
+    return '{"type":"MultiPoint","coordinates":[' + ",".join(pts) + "]}"
+
+
 def _relation_geometry_json(area_members: DataFrame, line_members: DataFrame,
-                            coords: DataFrame, precision: int = 6) -> DataFrame:
-    """Area AND line relation geometries in ONE applyInPandas pass: both
-    group by relation_id (a relation has exactly one kind), so running
-    them as separate stages costs an extra shuffle + Python stage for
-    nothing. Assembly semantics per kind are byte-identical to the split
-    paths (see _build_area_geom/_build_line_geom)."""
+                            coords: DataFrame, precision: int = 6,
+                            point_vertices: DataFrame | None = None) -> DataFrame:
+    """Area, line AND point relation geometries in ONE applyInPandas pass:
+    all three group by relation_id (a relation has exactly one kind), so
+    running them as separate stages costs extra shuffles + Python stages
+    for nothing — at tiny-extract scale each materialized exchange is a
+    whole AQE job (~0.2s driver latency). Assembly semantics per kind are
+    byte-identical to the split paths (see _build_area_geom /
+    _build_line_geom / _build_point_geom).
+
+    point_vertices: optional (relation_id, lon, lat, seq) frame of
+    resolved node members of point-kind relations."""
     from .tiles import _spread
 
-    am = area_members.select(
-        "relation_id", F.col("member_ref").alias("way_id"),
-        F.coalesce("role", F.lit("outer")).alias("role"),
-        F.lit(0).alias("seq"), F.lit("area").alias("kind"),
+    am = area_members.selectExpr(
+        "relation_id", "member_ref as way_id",
+        "coalesce(role, 'outer') as role", "0 as seq", "'area' as kind",
     )
-    lm = line_members.filter(F.col("member_type") == "way").select(
-        "relation_id", F.col("member_ref").alias("way_id"),
-        F.lower(F.coalesce("role", F.lit(""))).alias("role"),
-        "seq", F.lit("line").alias("kind"),
+    lm = line_members.where("member_type = 'way'").selectExpr(
+        "relation_id", "member_ref as way_id",
+        "lower(coalesce(role, '')) as role", "seq", "'line' as kind",
     )
     m = am.unionByName(lm).join(coords.select("way_id", "lons", "lats"), "way_id")
+    if point_vertices is not None:
+        pv = point_vertices.selectExpr(
+            "relation_id", "cast(-1 as bigint) as way_id", "'' as role",
+            "seq", "'point' as kind",
+            "array(lon) as lons", "array(lat) as lats",
+        )
+        m = m.unionByName(pv)
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rid = int(key[0])
-        if pdf["kind"].iloc[0] == "area":
+        kind = pdf["kind"].iloc[0]
+        if kind == "area":
             geom = _build_area_geom(pdf, precision)
+        elif kind == "point":
+            geom = _build_point_geom(pdf, precision)
         else:
             geom = _build_line_geom(pdf, precision)
         return pd.DataFrame([{"relation_id": rid, "geometry": geom}])
@@ -328,59 +351,40 @@ def relations_to_features(relations: DataFrame, members: DataFrame,
         "kind", geo.relation_kind(F.col("tags"), F.coalesce("__hrm", F.lit(False)))
     )
 
-    area_ids = rel.filter(F.col("kind") == "area").select("id")
-    line_ids = rel.filter(F.col("kind") == "line").select("id")
-    point_ids = rel.filter(F.col("kind") == "point").select("id")
-
-    area_members = members.join(
-        area_ids.withColumnRenamed("id", "relation_id"), "relation_id", "left_semi"
-    ).filter(F.col("member_type") == "way")
-    line_members = members.join(
-        line_ids.withColumnRenamed("id", "relation_id"), "relation_id", "left_semi"
-    )
-    al_geom = _relation_geometry_json(area_members, line_members, coords, precision)
-
-    # point relations: node members in member order (collectRelationPoints)
-    pm = (
-        members.join(point_ids.withColumnRenamed("id", "relation_id"),
-                     "relation_id", "left_semi")
-        .filter(F.col("member_type") == "node")
-        .join(nodes.select(F.col("id").alias("member_ref"), "lon", "lat"), "member_ref")
-        .groupBy("relation_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seq", "lon", "lat"))).alias("s"))
-    )
-    pt_list = F.transform(
-        F.col("s"),
-        lambda x: F.concat(F.lit("["), _fmt(x.lon, precision), F.lit(","),
-                           _fmt(x.lat, precision), F.lit("]")),
-    )
-    point_geom = pm.select(
+    # ONE broadcast of (relation_id, kind) routes every member row —
+    # replacing three per-kind semi-joins (each its own broadcast job)
+    mm = members.join(
+        F.broadcast(rel.select(F.col("id").alias("relation_id"), "kind")),
         "relation_id",
-        F.when(
-            F.size("s") == 1,
-            F.concat(F.lit('{"type":"Point","coordinates":'),
-                     F.element_at(pt_list, 1), F.lit("}")),
-        ).otherwise(
-            F.concat(F.lit('{"type":"MultiPoint","coordinates":['),
-                     F.array_join(pt_list, ","), F.lit("]}"))
-        ).alias("geometry"),
     )
-
-    geom = al_geom.unionByName(point_geom)
+    area_members = mm.filter(
+        (F.col("kind") == "area") & (F.col("member_type") == "way")
+    )
+    line_members = mm.filter(F.col("kind") == "line")
+    # point relations: node members resolved against the node layer; the
+    # geometry builds in the SAME applyInPandas pass as area/line
+    point_vertices = (
+        mm.filter((F.col("kind") == "point") & (F.col("member_type") == "node"))
+        .join(nodes.select(F.col("id").alias("member_ref"), "lon", "lat"),
+              "member_ref")
+        .select("relation_id", "lon", "lat", "seq")
+    )
+    geom = _relation_geometry_json(area_members, line_members, coords,
+                                   precision, point_vertices=point_vertices)
     out = rel.join(geom.withColumnRenamed("relation_id", "id"), "id", "left")
-    geometry = F.coalesce(
-        F.col("geometry"),
-        # logic/super relations and empty geometries (entity-to-feature.ts:297-306)
-        F.when(F.col("kind") == "area", '{"type":"MultiPolygon","coordinates":[]}')
-        .when(F.col("kind") == "line", '{"type":"MultiLineString","coordinates":[]}')
-        .when(F.col("kind") == "point", '{"type":"MultiPoint","coordinates":[]}')
-        .otherwise('{"type":"GeometryCollection","geometries":[]}'),
+    # logic/super relations and empty geometries (entity-to-feature.ts:297-306)
+    geometry = (
+        "coalesce(geometry, "
+        "case when kind = 'area' then '{\"type\":\"MultiPolygon\",\"coordinates\":[]}' "
+        "when kind = 'line' then '{\"type\":\"MultiLineString\",\"coordinates\":[]}' "
+        "when kind = 'point' then '{\"type\":\"MultiPoint\",\"coordinates\":[]}' "
+        "else '{\"type\":\"GeometryCollection\",\"geometries\":[]}' end)"
     )
-    return out.select(
+    return out.selectExpr(
         "id",
-        F.lit("relation").alias("entity_type"),
-        _feature_json(F.col("id"), geometry,
-                      _props_json(F.col("id"), "relation", F.col("tags"))).alias("feature"),
+        "'relation' as entity_type",
+        _feature_json_sql("id", geometry, _props_json_sql("relation"))
+        + " as feature",
     )
 
 

@@ -2702,68 +2702,56 @@ def _gj_oracle_sql() -> str:
 
 
 def _gj_fixture(spark: SparkSession, sf_dir: str):
-    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
-    cx = F.lit(-100.0) + ((F.col("k") * 13) % 40).cast("double") * F.lit(0.01)
-    cy = F.lit(40.0) + ((F.col("k") * 7) % 40).cast("double") * F.lit(0.01)
-    base = nation.select("k", cx.alias("cx"), cy.alias("cy"))
-    nodes = base.select(
+    # Built as selectExpr STRINGS (one py4j round-trip each): the Column-
+    # object version spent ~0.6s of pure driver-side py4j latency per call
+    # — measurable against this fixed-size query's ~2.5s wall.
+    nation = _t(spark, sf_dir, "nation").selectExpr("n_nationkey as k")
+    base = nation.selectExpr(
         "k",
-        F.explode(F.array(*[
-            F.struct(
-                (F.col("k") * 100 + i).alias("id"),
-                (F.col("cx") + F.lit(dx)).alias("lon"),
-                (F.col("cy") + F.lit(dy)).alias("lat"),
-            )
-            for i, dx, dy in _GJ_CORNERS
-        ])).alias("n"),
-    ).select(
-        F.col("n.id").alias("id"), F.col("n.lon").alias("lon"), F.col("n.lat").alias("lat"),
-        F.when(
-            F.col("n.id") % 2 == 1,
-            F.create_map(F.lit("name"), F.concat(F.lit("p"), F.col("n.id").cast("string"))),
-        ).alias("tags"),
+        "-100.0D + cast((k * 13) % 40 as double) * 0.01D as cx",
+        "40.0D + cast((k * 7) % 40 as double) * 0.01D as cy",
     )
-    k100 = F.col("k") * 100
-    ways = base.select(
-        F.explode(F.array(
-            F.struct((F.col("k") * 10 + 1).alias("id"),
-                     F.array(k100 + 1, k100 + 2, k100 + 3).alias("refs"),
-                     F.create_map(F.lit("highway"), F.lit("x")).alias("tags")),
-            F.struct((F.col("k") * 10 + 2).alias("id"),
-                     F.array(k100 + 1, k100 + 2, k100 + 3, k100 + 4, k100 + 1).alias("refs"),
-                     F.create_map(F.lit("building"), F.lit("yes")).alias("tags")),
-            F.struct((F.col("k") * 10 + 3).alias("id"),
-                     F.array(k100 + 5, k100 + 6, k100 + 7, k100 + 8, k100 + 5).alias("refs"),
-                     F.lit(None).cast("map<string,string>").alias("tags")),
-        )).alias("w")
-    ).select(F.col("w.id").alias("id"), F.col("w.refs").alias("refs"), F.col("w.tags").alias("tags"))
-    relations = base.select(
-        F.explode(F.array(
-            F.struct(F.col("k").cast("long").alias("id"),
-                     F.create_map(F.lit("type"), F.lit("multipolygon"),
-                                  F.lit("name"), F.concat(F.lit("r"), F.col("k").cast("string"))).alias("tags")),
-            F.struct((F.col("k") + 100000).cast("long").alias("id"),
-                     F.create_map(F.lit("type"), F.lit("multipoint")).alias("tags")),
-            F.struct((F.col("k") + 200000).cast("long").alias("id"),
-                     F.create_map(F.lit("type"), F.lit("route")).alias("tags")),
-        )).alias("r")
-    ).select(F.col("r.id").alias("id"), F.col("r.tags").alias("tags"))
-    members = base.select(
-        F.explode(F.array(
-            F.struct(F.col("k").cast("long").alias("relation_id"), F.lit("way").alias("member_type"),
-                     (F.col("k") * 10 + 2).alias("member_ref"), F.lit("outer").alias("role"),
-                     F.lit(0).alias("seq")),
-            F.struct(F.col("k").cast("long").alias("relation_id"), F.lit("way").alias("member_type"),
-                     (F.col("k") * 10 + 3).alias("member_ref"), F.lit("inner").alias("role"),
-                     F.lit(1).alias("seq")),
-            F.struct((F.col("k") + 100000).cast("long").alias("relation_id"), F.lit("node").alias("member_type"),
-                     (k100 + 1).alias("member_ref"), F.lit("").alias("role"), F.lit(0).alias("seq")),
-            F.struct((F.col("k") + 100000).cast("long").alias("relation_id"), F.lit("node").alias("member_type"),
-                     (k100 + 2).alias("member_ref"), F.lit("").alias("role"), F.lit(1).alias("seq")),
-            F.struct((F.col("k") + 200000).cast("long").alias("relation_id"), F.lit("way").alias("member_type"),
-                     (F.col("k") * 10 + 1).alias("member_ref"), F.lit("").alias("role"), F.lit(0).alias("seq")),
-        )).alias("m")
-    ).select("m.relation_id", "m.member_type", "m.member_ref", "m.role", "m.seq")
+    corner_structs = ",".join(
+        f"struct(k * 100 + {i} as id, cx + ({dx!r}D) as lon, cy + ({dy!r}D) as lat)"
+        for i, dx, dy in _GJ_CORNERS
+    )
+    nodes = base.selectExpr(f"inline(array({corner_structs}))").selectExpr(
+        "id", "lon", "lat",
+        "case when id % 2 = 1 then"
+        " map('name', concat('p', cast(id as string))) end as tags",
+    )
+    ways = base.selectExpr(
+        "inline(array("
+        "struct(k * 10 + 1 as id,"
+        " array(k * 100 + 1, k * 100 + 2, k * 100 + 3) as refs,"
+        " map('highway', 'x') as tags),"
+        "struct(k * 10 + 2 as id,"
+        " array(k * 100 + 1, k * 100 + 2, k * 100 + 3, k * 100 + 4, k * 100 + 1) as refs,"
+        " map('building', 'yes') as tags),"
+        "struct(k * 10 + 3 as id,"
+        " array(k * 100 + 5, k * 100 + 6, k * 100 + 7, k * 100 + 8, k * 100 + 5) as refs,"
+        " cast(null as map<string,string>) as tags)))"
+    )
+    relations = base.selectExpr(
+        "inline(array("
+        "struct(cast(k as bigint) as id,"
+        " map('type', 'multipolygon', 'name', concat('r', cast(k as string))) as tags),"
+        "struct(cast(k + 100000 as bigint) as id, map('type', 'multipoint') as tags),"
+        "struct(cast(k + 200000 as bigint) as id, map('type', 'route') as tags)))"
+    )
+    members = base.selectExpr(
+        "inline(array("
+        "struct(cast(k as bigint) as relation_id, 'way' as member_type,"
+        " k * 10 + 2 as member_ref, 'outer' as role, 0 as seq),"
+        "struct(cast(k as bigint) as relation_id, 'way' as member_type,"
+        " k * 10 + 3 as member_ref, 'inner' as role, 1 as seq),"
+        "struct(cast(k + 100000 as bigint) as relation_id, 'node' as member_type,"
+        " k * 100 + 1 as member_ref, '' as role, 0 as seq),"
+        "struct(cast(k + 100000 as bigint) as relation_id, 'node' as member_type,"
+        " k * 100 + 2 as member_ref, '' as role, 1 as seq),"
+        "struct(cast(k + 200000 as bigint) as relation_id, 'way' as member_type,"
+        " k * 10 + 1 as member_ref, '' as role, 0 as seq)))"
+    )
     return nodes, ways, relations, members
 
 
