@@ -98,15 +98,34 @@ def sentinel_probe() -> dict:
     wall clock and the process-CPU clock. wall/cpu ~ 1.0 on a quiet host;
     a noisy neighbor (descheduling) or hypervisor suspend inflates wall
     while cpu stays flat, so the ratio is a self-calibrating pollution
-    signal — no cross-run baseline required."""
+    signal — no cross-run baseline required.
+
+    A second, memory-touching probe (fresh 80MB arange+copy) catches the
+    failure mode the busy-loop cannot: lazily host-backed guest memory,
+    where first-touch page faults stall the vCPU (wall advances, process
+    CPU does not). Measured on this sandbox: quiet mem wall ~0.04s,
+    stalled 10-50x that with cpu flat — so mem_ratio is the gate."""
     w0, c0 = time.perf_counter(), time.process_time()
     x = 0
     for i in range(3_000_000):
         x = (x + (i ^ (x >> 3))) & 0xFFFFFFFF  # mask: keep ints machine-width
     wall = time.perf_counter() - w0
     cpu = time.process_time() - c0
+    try:
+        import numpy as np
+
+        mw0, mc0 = time.perf_counter(), time.process_time()
+        a = np.arange(10_000_000, dtype=np.int64)  # 80MB fresh pages
+        a = a + 1
+        mem_wall = time.perf_counter() - mw0
+        mem_cpu = time.process_time() - mc0
+        del a
+    except Exception:
+        mem_wall = mem_cpu = 0.0
     return {"wall": round(wall, 3), "cpu": round(cpu, 3),
-            "ratio": round(wall / max(cpu, 1e-9), 3)}
+            "ratio": round(wall / max(cpu, 1e-9), 3),
+            "mem_wall": round(mem_wall, 3),
+            "mem_ratio": round(mem_wall / max(mem_cpu, 1e-9), 3)}
 
 
 def flagship_pages_pipeline(spark, sf_dir: str):
@@ -237,7 +256,12 @@ def main() -> None:
             pending.append((f"p{p}_{sq}", [sq]))
 
     def polluted(data: dict) -> bool:
-        return max(s["ratio"] for s in data["sentinel"]) > POLLUTION_FACTOR
+        if max(s["ratio"] for s in data["sentinel"]) > POLLUTION_FACTOR:
+            return True
+        # memory-stall gate: generous threshold — first-touch paging on
+        # this sandbox is routine at JVM start; only a worker whose
+        # POST-run probe still stalls badly is measuring a sick host
+        return data["sentinel"][-1].get("mem_ratio", 1.0) > 3.0
 
     retries_left = MAX_RETRIES
     with tempfile.TemporaryDirectory(prefix="osmix_bench_") as tmpdir:

@@ -302,20 +302,24 @@ def _decode_geom_ints(geom_type: int, ints: list[int]) -> list[list[tuple[int, i
 # ---------------------------------------------------------------------------
 
 
-def _varints_np(vals) -> "bytes":
+def _varints_np(vals, nb=None, offs=None) -> "bytes":
     """Concatenated varint encoding of a uint64 array — vectorized by
     byte-length group: values needing L bytes are written together as an
-    (n, L) matrix scatter, so typical 1-2-byte tile deltas take 1-2 passes."""
+    (n, L) matrix scatter, so typical 1-2-byte tile deltas take 1-2 passes.
+
+    nb/offs: optional precomputed _varint_nbytes_np(vals) and its exclusive
+    cumsum — callers that already hold them (the single-stream frame
+    encoder) skip the recompute passes."""
     import numpy as np
 
     v = np.asarray(vals, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nb = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, 10):
-        nb += v >= np.uint64(1 << (7 * k))
-    offs = np.zeros(v.shape, dtype=np.int64)
-    np.cumsum(nb[:-1], out=offs[1:])
+    if nb is None:
+        nb = _varint_nbytes_np(v)
+    if offs is None:
+        offs = np.zeros(v.shape, dtype=np.int64)
+        np.cumsum(nb[:-1], out=offs[1:])
     out = np.empty(int(offs[-1] + nb[-1]), dtype=np.uint8)
     for L in np.unique(nb):
         sel = nb == L
@@ -330,12 +334,14 @@ def _varints_np(vals) -> "bytes":
 
 
 def _varint_nbytes_np(vals):
+    # int8 lengths (max 10): a tenth of the bandwidth of int64 on the
+    # multi-ten-million-value streams the frame encoder feeds through here
     import numpy as np
 
     v = np.asarray(vals, dtype=np.uint64)
-    nb = np.ones(v.shape, dtype=np.int64)
+    nb = np.ones(v.shape, dtype=np.int8)
     for k in range(1, 10):
-        nb += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+        nb += v >= np.uint64(1 << (7 * k))
     return nb
 
 
@@ -393,92 +399,69 @@ def encode_line_frames_np(ids, xs, ys, lens,
     dy[starts] = ys[starts]
     zx, zy = _zigzag_np(dx), _zigzag_np(dy)
 
+    # Single combined int stream, already in final byte order — per feature
+    # [frame_tag, body_len, tag(1,0), id, tag(3,0), type, tag(4,2), glen,
+    #  geometry ints...]. One varint pass emits the finished buffer: no
+    # per-stream byte scatters, no repeat-built gather indexes. On the
+    # memory-bandwidth-bound tile path this more than halves the bytes
+    # touched per feature vs the old 3-stream assemble (it was the dominant
+    # cost of the way-tile encode at sf0.1).
+    if geom_type == GEOM_POINT:
+        s = np.full(F_, 3, dtype=np.int64)
+    else:
+        s = 2 * lens + 2
+    iw = 8 + s
+    ioff = np.zeros(F_, dtype=np.int64)
+    np.cumsum(iw[:-1], out=ioff[1:])
+    M = int(ioff[-1] + iw[-1])
+    V = np.zeros(M, dtype=np.uint64)
+    cg = ioff + 8  # geometry segment start per feature
     if geom_type == GEOM_POINT:
         # [MoveTo|1, zx, zy] per feature
-        s = np.full(F_, 3, dtype=np.int64)
-        g = np.zeros(F_, dtype=np.int64)
-        np.cumsum(s[:-1], out=g[1:])
-        G = np.zeros(int(s.sum()), dtype=np.uint64)
-        G[g] = np.uint64(_CMD_MOVETO | (1 << 3))
-        G[g + 1] = zx
-        G[g + 2] = zy
-        geo_counts = s
-        geo_offsets = g
+        V[cg] = np.uint64(_CMD_MOVETO | (1 << 3))
+        V[cg + 1] = zx
+        V[cg + 2] = zy
     else:
         # [MoveTo|1, zx0, zy0, LineTo|(n-1), zx1, zy1, ...] per feature
-        s = 2 * lens + 2
-        g = np.zeros(F_, dtype=np.int64)
-        np.cumsum(s[:-1], out=g[1:])
-        G = np.zeros(int(s.sum()), dtype=np.uint64)
-        G[g] = np.uint64(_CMD_MOVETO | (1 << 3))
-        G[g + 3] = (((lens - 1) << 3) | _CMD_LINETO).astype(np.uint64)
-        f_of = np.repeat(np.arange(F_), lens)
-        k = np.arange(len(xs)) - starts[f_of]
-        posx = np.where(k == 0, g[f_of] + 1, g[f_of] + 2 + 2 * k)
-        G[posx] = zx
-        G[posx + 1] = zy
-        geo_counts = s
-        geo_offsets = g
+        V[cg] = np.uint64(_CMD_MOVETO | (1 << 3))
+        V[cg + 3] = (((lens - 1) << 3) | _CMD_LINETO).astype(np.uint64)
+        N = len(xs)
+        idx = np.int32 if M < (1 << 31) and N < (1 << 31) else np.int64
+        f_of = np.repeat(np.arange(F_, dtype=idx), lens)
+        k = np.arange(N, dtype=idx) - starts.astype(idx)[f_of]
+        posx = cg.astype(idx)[f_of] + np.where(k == 0, idx(1), 2 + 2 * k)
+        V[posx] = zx
+        V[posx + 1] = zy
+    # header ints (body_len and glen patched below once lengths are known)
+    V[ioff] = np.uint64((2 << 3) | 2)
+    V[ioff + 2] = np.uint64(1 << 3)
+    V[ioff + 3] = ids.view(np.uint64)  # two's complement int64
+    V[ioff + 4] = np.uint64(3 << 3)
+    V[ioff + 5] = np.uint64(geom_type)
+    V[ioff + 6] = np.uint64((4 << 3) | 2)
 
-    geom_bytes = _varints_np(G)
-    nb = _varint_nbytes_np(G)
-    geom_blen = np.add.reduceat(nb, geo_offsets)
-    geom_boffs = np.zeros(F_, dtype=np.int64)
-    np.cumsum(geom_blen[:-1], out=geom_boffs[1:])
-
-    # header ints per feature: tag(1,0), id, tag(3,0), type, tag(4,2), glen
-    ids_u = ids.astype(np.int64).view(np.uint64)  # two's complement int64
-    H = np.empty(F_ * 6, dtype=np.uint64)
-    H[0::6] = np.uint64(1 << 3)
-    H[1::6] = ids_u
-    H[2::6] = np.uint64(3 << 3)
-    H[3::6] = np.uint64(geom_type)
-    H[4::6] = np.uint64((4 << 3) | 2)
-    H[5::6] = geom_blen.astype(np.uint64)
-    header_bytes = _varints_np(H)
-    hnb = _varint_nbytes_np(H)
-    header_blen = hnb.reshape(F_, 6).sum(axis=1)
-    header_boffs = np.zeros(F_, dtype=np.int64)
-    np.cumsum(header_blen[:-1], out=header_boffs[1:])
-
-    body_blen = header_blen + geom_blen
-    # frame ints per feature: tag(2,2), body_len
-    FR = np.empty(F_ * 2, dtype=np.uint64)
-    FR[0::2] = np.uint64((2 << 3) | 2)
-    FR[1::2] = body_blen.astype(np.uint64)
-    frame_bytes = _varints_np(FR)
-    fnb = _varint_nbytes_np(FR)
-    frame_blen = fnb.reshape(F_, 2).sum(axis=1)
-    frame_boffs = np.zeros(F_, dtype=np.int64)
-    np.cumsum(frame_blen[:-1], out=frame_boffs[1:])
-
-    total = int(frame_blen.sum() + body_blen.sum())
-    out = np.empty(total, dtype=np.uint8)
-    gb = np.frombuffer(geom_bytes, dtype=np.uint8)
-    hb = np.frombuffer(header_bytes, dtype=np.uint8)
-    fb = np.frombuffer(frame_bytes, dtype=np.uint8)
-    # destination offsets per segment (frame, header, geom), then one
-    # gather per stream instead of a per-feature Python copy
-    dst_frame = frame_boffs + header_boffs + geom_boffs
-    dst_header = dst_frame + frame_blen
-    dst_geom = dst_header + header_blen
-
-    def scatter(src, src_offs, seg_lens, dst_offs):
-        n = int(seg_lens.sum())
-        if n == 0:
-            return
-        f_of2 = np.repeat(np.arange(F_), seg_lens)
-        within = np.arange(n) - np.repeat(
-            np.concatenate([[0], np.cumsum(seg_lens)[:-1]]), seg_lens
-        )
-        out[dst_offs[f_of2] + within] = src[src_offs[f_of2] + within]
-
-    scatter(fb, frame_boffs, frame_blen, dst_frame)
-    scatter(hb, header_boffs, header_blen, dst_header)
-    scatter(gb, geom_boffs, geom_blen, dst_geom)
+    # length resolution is one ordered pass (no fixpoint): glen depends only
+    # on geometry-int byte lengths; body_len on header+geom lengths incl.
+    # glen's own varint width; frame length on body_len's width.
+    nb = _varint_nbytes_np(V)
+    cs = np.empty(M + 1, dtype=np.int64)
+    cs[0] = 0
+    np.cumsum(nb, out=cs[1:])
+    end = ioff + iw
+    glen = cs[end] - cs[cg]
+    V[ioff + 7] = glen.astype(np.uint64)
+    nb7 = _varint_nbytes_np(V[ioff + 7])
+    hpart = cs[cg - 1] - cs[ioff + 2]  # tag/id/tag/type/tag (5 fixed ints)
+    body_blen = hpart + nb7 + glen
+    V[ioff + 1] = body_blen.astype(np.uint64)
+    nb1 = _varint_nbytes_np(V[ioff + 1])
+    nb[ioff + 7] = nb7
+    nb[ioff + 1] = nb1
+    np.cumsum(nb, out=cs[1:])
+    out = _varints_np(V, nb=nb, offs=cs[:-1])
     if return_lens:
-        return out.tobytes(), frame_blen + body_blen
-    return out.tobytes()
+        return out, cs[end] - cs[ioff]
+    return out
 
 
 def encode_lines_layer_np(name: str, ids, xs, ys, lens,
