@@ -1,10 +1,12 @@
-"""Pure-NumPy baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+"""Pure-NumPy JPEG codec (ITU-T T.81 / ISO 10918-1).
 
-No image libraries: the decoder handles baseline sequential DCT (SOF0),
-8-bit samples, 1 (grayscale) or 3 (YCbCr) components, 4:4:4 / 4:2:2 / 4:2:0
-sampling, byte stuffing, and restart markers; the encoder writes baseline
-4:4:4 or 4:2:0 with the Annex K quantization and Huffman tables so fixtures
-are deterministic and spec-standard.
+No image libraries: the decoder handles baseline sequential DCT (SOF0)
+AND progressive DCT (SOF2 — spectral selection + successive
+approximation, Annex G), 8-bit samples, 1 (grayscale) or 3 (YCbCr)
+components, 4:4:4 / 4:2:2 / 4:2:0 sampling, byte stuffing, and restart
+markers; the encoders write baseline (Annex K tables) or progressive
+(per-scan minimal tables) 4:4:4 / 4:2:0 so fixtures are deterministic
+and spec-standard.
 
 Used by operators/multimodal.decode_media for image/jpeg payloads — the
 reference engine has no media path at all; this exists for the
@@ -174,6 +176,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Pad to a byte boundary and emit RSTm (never byte-stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """DC/AC amplitude coding (T.81 F.1.2.1): (size, value-bits)."""
@@ -210,11 +219,10 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_baseline(img: np.ndarray, quality: int = 75, subsample: str = "444") -> bytes:
-    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 as baseline JPEG.
-
-    H and W must be multiples of 8 (and of 16 for 4:2:0) — fixtures are;
-    general edge-padding is out of scope for the synthetic pipeline."""
+def _prep_blocks(img: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front: color transform, subsampling, FDCT+quantize.
+    -> (gray, h, w, qly, qlc, samp, qids, qblocks); qblocks[ci] is
+    (nblocks, 64) zigzag-order, row-major block order."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qly = _scale_qt(QT_LUMA, quality)
@@ -240,13 +248,22 @@ def encode_baseline(img: np.ndarray, quality: int = 75, subsample: str = "444") 
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
         qids = [0, 1, 1]
 
-    dc_codes = _STD_DC_CODES
-    ac_codes = _STD_AC_CODES
-
-    # per-plane quantized blocks (row-major block order)
     qblocks = []
     for p, qid in zip(planes, qids):
         qblocks.append(_fdct_quant(p, qly if qid == 0 else qlc))
+    return gray, h, w, qly, qlc, samp, qids, qblocks
+
+
+def encode_baseline(img: np.ndarray, quality: int = 75, subsample: str = "444") -> bytes:
+    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 as baseline JPEG.
+
+    H and W must be multiples of 8 (and of 16 for 4:2:0) — fixtures are;
+    general edge-padding is out of scope for the synthetic pipeline."""
+    gray, h, w, qly, qlc, samp, qids, qblocks = _prep_blocks(
+        img, quality, subsample)
+
+    dc_codes = _STD_DC_CODES
+    ac_codes = _STD_AC_CODES
 
     # interleaved MCU scan (T.81 A.2.3)
     hmax = max(s[0] for s in samp)
@@ -254,7 +271,7 @@ def encode_baseline(img: np.ndarray, quality: int = 75, subsample: str = "444") 
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(qblocks)
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (hs, vs) in enumerate(samp):
@@ -395,21 +412,28 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_baseline(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG -> (H, W, 3) RGB uint8 (grayscale replicated).
+def decode(data: bytes) -> np.ndarray:
+    """Decode a JPEG -> (H, W, 3) RGB uint8 (grayscale replicated).
 
-    Supports SOF0, 8-bit, 1 or 3 components, sampling factors 1-2, restart
-    intervals, multi-table DQT/DHT segments, 0xFF fill bytes between
-    markers (T.81 B.1.1.2). Progressive (SOF2) and arithmetic coding raise
+    Supports baseline sequential (SOF0) and progressive (SOF2, T.81 G:
+    spectral selection + successive approximation, all four scan kinds),
+    8-bit, 1 or 3 components, sampling factors 1-2, restart intervals,
+    multi-table DQT/DHT segments (including tables redefined between
+    progressive scans), 0xFF fill bytes between markers (T.81 B.1.1.2).
+    Other SOFs (lossless, arithmetic, hierarchical) raise
     NotImplementedError; any malformed/truncated stream raises ValueError
     (the decode_media contract), never a raw struct/Index/Overflow error."""
     try:
-        return _decode_baseline(data)
+        return _decode(data)
     except (struct.error, IndexError, OverflowError) as e:
         raise ValueError(f"corrupt or truncated JPEG stream: {e!r}") from e
 
 
-def _decode_baseline(data: bytes) -> np.ndarray:
+# historical name — the entry grew progressive support but callers predate it
+decode_baseline = decode
+
+
+def _decode(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, np.ndarray] = {}
@@ -417,6 +441,9 @@ def _decode_baseline(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per-comp (nblocks, 64) zigzag
+    mcux = mcuy = 0
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -449,20 +476,24 @@ def _decode_baseline(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(cls, tid)] = _build_decode_map(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("8-bit precision only")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                comps.append({"id": cid, "idx": c, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"non-baseline SOF 0x{marker:02x}")
+            raise NotImplementedError(f"unsupported SOF 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             order = []
             for c in range(ns):
@@ -473,15 +504,54 @@ def _decode_baseline(data: bytes) -> np.ndarray:
                 order.append(comp)
             scan_start = i + 2 + ln
             try:
-                return _decode_scan(data, scan_start, w, h, order, qts, huff,
-                                    restart_interval)
+                if not progressive:
+                    return _decode_scan(data, scan_start, w, h, order, qts,
+                                        huff, restart_interval)
+                if coefs is None:
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    for c in comps:
+                        # MCU-padded grid for interleaved scans; the
+                        # non-interleaved walk covers only ceil(cw/8) cols
+                        # (T.81 A.2.2 vs A.2.3)
+                        c["bw"] = mcux * c["h"]
+                        c["bh"] = mcuy * c["v"]
+                        cw = -(-(w * c["h"]) // hmax)
+                        ch = -(-(h * c["v"]) // vmax)
+                        c["nbx"] = -(-cw // 8)
+                        c["nby"] = -(-ch // 8)
+                    coefs = [np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+                             for c in comps]
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                end = _decode_progressive_scan(
+                    data, scan_start, order, huff, coefs, mcux, mcuy,
+                    ss, se, ahal >> 4, ahal & 0xF, restart_interval)
             except (_RestartMarker, IndexError, KeyError, OverflowError) as e:
                 # internal decode-state exceptions must not escape: a restart
                 # marker with no DRI, a truncated stream, or a missing table
                 # are all "corrupt JPEG" to the caller
                 raise ValueError(f"corrupt or truncated JPEG stream: {e!r}") from e
+            i = _skip_to_marker(data, end)
+            continue
         i += 2 + ln
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(comps, coefs, qts, w, h)
     raise ValueError("no SOS marker found")
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past a scan's entropy tail to the next true marker (skips
+    stuffed 0x00 and RSTn bytes)."""
+    p = pos
+    while p + 1 < len(data):
+        if (data[p] == 0xFF and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)):
+            return p
+        p += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
 
 
 def _decode_scan(data, pos, w, h, comps, qts, huff, restart_interval):
@@ -545,3 +615,466 @@ def _decode_scan(data, pos, w, h, comps, qts, huff, restart_interval):
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive mode (T.81 Annex G): spectral selection + successive
+# approximation. Scans accumulate into per-component coefficient grids;
+# reconstruction dequantizes + IDCTs once at EOI. The reference treats
+# progressive input as in-scope for its media ingest (it decodes whatever
+# a crawl yields), so the boundary here is codec-level (MP3/AAC/H.264 out,
+# any T.81 Huffman JPEG in).
+# ---------------------------------------------------------------------------
+
+
+def _scan_units(order, mcux, mcuy):
+    """Yield decode units: lists of (comp, flat_block_index).
+
+    Interleaved scans (ns > 1) walk MCUs (T.81 A.2.3); single-component
+    scans walk the component's own ceil-grid row-major (A.2.2). One unit =
+    one restart-interval tick."""
+    if len(order) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for c in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (c, (my * c["v"] + by) * c["bw"]
+                                 + mx * c["h"] + bx))
+                yield unit
+    else:
+        c = order[0]
+        for byy in range(c["nby"]):
+            for bxx in range(c["nbx"]):
+                yield [(c, byy * c["bw"] + bxx)]
+
+
+def _ac_first_block(br, act, blk, ss, se, al, eobrun):
+    """One block of an AC first scan (G.1.2.2). Returns the new EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, act, blk, ss, se, al, eobrun):
+    """One block of an AC refinement scan (G.1.2.3). Correction bits for
+    already-nonzero coefficients are interleaved with newly-significant
+    insertions exactly as the encoder buffers them. Returns the EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, act)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                if s != 1:
+                    raise ValueError("refinement scan with size > 1")
+                val = p1 if br.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                val = 0  # ZRL: pass 16 zero-history positions
+            while k <= se:
+                if blk[k]:
+                    if br.read_bit() and not (int(blk[k]) & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            if blk[k]:
+                if br.read_bit() and not (int(blk[k]) & p1):
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(data, pos, order, huff, coefs, mcux, mcuy,
+                             ss, se, ah, al, restart_interval):
+    """Decode one progressive scan into the coefficient grids; returns the
+    stream position after the scan's entropy data."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+    elif len(order) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    br = _BitReader(data, pos)
+    pred = {c["idx"]: 0 for c in order}
+    eobrun = 0
+    cnt = 0
+    for unit in _scan_units(order, mcux, mcuy):
+        if restart_interval and cnt and cnt % restart_interval == 0:
+            br.sync_restart()
+            pred = {c["idx"]: 0 for c in order}
+            eobrun = 0
+        for c, bi in unit:
+            blk = coefs[c["idx"]][bi]
+            if ss == 0:
+                if ah == 0:  # DC first
+                    size = _decode_huff(br, huff[(0, c["dc"])])
+                    diff = _extend(br.read_bits(size), size) if size else 0
+                    pred[c["idx"]] += diff
+                    blk[0] = pred[c["idx"]] << al
+                else:  # DC refinement: one raw bit, no Huffman table
+                    if br.read_bit():
+                        blk[0] |= 1 << al
+            else:
+                act = huff[(1, c["ac"])]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, act, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, act, blk, ss, se, al, eobrun)
+        cnt += 1
+    return br.pos
+
+
+def _reconstruct_progressive(comps, coefs, qts, w, h):
+    """Dequantize + IDCT the accumulated coefficient grids, vectorized
+    over all blocks per component."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for c in comps:
+        qt = qts[c["tq"]].reshape(64)  # natural order
+        cf = coefs[c["idx"]].astype(np.float64) * qt[ZIGZAG]
+        nat = np.zeros_like(cf)
+        nat[:, ZIGZAG] = cf
+        spatial = np.einsum("ux,nuv,vy->nxy", _M, nat.reshape(-1, 8, 8), _M)
+        bh, bw = c["bh"], c["bw"]
+        plane = (spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8) + 128.0)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder — fixture generator for the decoder above. Emits a
+# scan script covering all four scan kinds (DC first/refine, AC
+# first/refine with EOB runs), each scan with its own minimal canonical
+# Huffman table (the Annex K tables lack the EOBn symbols progressive
+# coding needs). The coefficient stream is lossless across the script, so
+# decode(encode_progressive(img)) is pixel-identical to
+# decode(encode_baseline(img)) at the same quality/subsampling — the
+# exactness hook the fixture tests pin.
+# ---------------------------------------------------------------------------
+
+
+def _pt_shift(v: int, al: int) -> int:
+    """AC point transform (T.81 A.4.2): divide by 2^Al toward zero."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _enc_units(scan_comps, samp, grids, mcux, mcuy):
+    """Encoder-side block walk: (ci, flat_index) units, mirroring
+    _scan_units. grids[ci] = (blocks_y, blocks_x)."""
+    if len(scan_comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci in scan_comps:
+                    hs, vs = samp[ci]
+                    bw = grids[ci][1]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            unit.append(
+                                (ci, (my * vs + by) * bw + mx * hs + bx))
+                yield unit
+    else:
+        ci = scan_comps[0]
+        nby, nbx = grids[ci]
+        for byy in range(nby):
+            for bxx in range(nbx):
+                yield [(ci, byy * nbx + bxx)]
+
+
+def _rst_ticks(ops, cnt, ri):
+    """Append a restart op at an interval boundary; returns its marker id."""
+    if ri and cnt and cnt % ri == 0:
+        ops.append(("r", (cnt // ri - 1) & 7))
+        return True
+    return False
+
+
+def _dc_first_ops(scan_comps, qblocks, samp, grids, mcux, mcuy, al, ri=0):
+    ops = []
+    pred = {ci: 0 for ci in scan_comps}
+    for cnt, unit in enumerate(_enc_units(scan_comps, samp, grids,
+                                          mcux, mcuy)):
+        if _rst_ticks(ops, cnt, ri):
+            pred = {ci: 0 for ci in scan_comps}
+        for ci, bi in unit:
+            v = int(qblocks[ci][bi][0]) >> al  # DC point transform: floor
+            size, bits = _magnitude(v - pred[ci])
+            pred[ci] = v
+            ops.append(("s", size))
+            if size:
+                ops.append(("b", bits, size))
+    return ops
+
+
+def _dc_refine_ops(scan_comps, qblocks, samp, grids, mcux, mcuy, al, ri=0):
+    ops = []
+    for cnt, unit in enumerate(_enc_units(scan_comps, samp, grids,
+                                          mcux, mcuy)):
+        _rst_ticks(ops, cnt, ri)
+        for ci, bi in unit:
+            ops.append(("b", (int(qblocks[ci][bi][0]) >> al) & 1, 1))
+    return ops
+
+
+def _ac_first_ops(blocks, ss, se, al, ri=0):
+    ops = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("s", r << 4))
+            if r:
+                ops.append(("b", eobrun - (1 << r), r))
+            eobrun = 0
+
+    for cnt, blk in enumerate(blocks):
+        if ri and cnt and cnt % ri == 0:
+            flush()
+            ops.append(("r", (cnt // ri - 1) & 7))
+        band = [_pt_shift(int(blk[k]), al) for k in range(ss, se + 1)]
+        if not any(band):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for v in band:
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ops.append(("s", 0xF0))  # ZRL
+                run -= 16
+            size, bits = _magnitude(v)
+            ops.append(("s", (run << 4) | size))
+            ops.append(("b", bits, size))
+            run = 0
+        if run:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return ops
+
+
+def _ac_refine_ops(blocks, ss, se, al, ri=0):
+    """G.1.2.3 refinement: correction bits for already-significant
+    coefficients buffer until the next emitted code (ZRL, newly-significant
+    coefficient, or EOBn) — the order the decoder consumes them in."""
+    ops = []
+    eobrun = 0
+    be: list[int] = []   # correction bits attached to the pending EOB run
+    cur: list[int] = []  # current block's bits since the last emitted code
+
+    def flush_cur():
+        nonlocal cur
+        ops.extend(("b", b, 1) for b in cur)
+        cur = []
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("s", r << 4))
+            if r:
+                ops.append(("b", eobrun - (1 << r), r))
+            eobrun = 0
+            # the run-covered blocks' correction bits follow the EOBn code
+            ops.extend(("b", b, 1) for b in be)
+            be = []
+
+    for cnt, blk in enumerate(blocks):
+        if ri and cnt and cnt % ri == 0:
+            flush_eob()
+            ops.append(("r", (cnt // ri - 1) & 7))
+        vals = [int(blk[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in vals]
+        eobpos = -1
+        for j, a in enumerate(absv):
+            if a == 1:
+                eobpos = j
+        r = 0
+        for j, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and j <= eobpos:
+                flush_eob()
+                ops.append(("s", 0xF0))
+                r -= 16
+                flush_cur()
+            if a > 1:  # already significant: one correction bit
+                cur.append(a & 1)
+                continue
+            flush_eob()
+            ops.append(("s", (r << 4) | 1))
+            ops.append(("b", 1 if vals[j] >= 0 else 0, 1))
+            flush_cur()
+            r = 0
+        if r > 0 or cur:  # block tail folds into an EOB run
+            eobrun += 1
+            be.extend(cur)
+            cur = []
+            if eobrun == 0x7FFF or len(be) > 937:  # libjpeg MAX_CORR_BITS
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _scan_table(ops):
+    """Minimal canonical Huffman table for a scan's symbol set: all
+    symbols at one length L with 2^L > count, reserving the all-ones
+    code (T.81 C.2)."""
+    syms = sorted({op[1] for op in ops if op[0] == "s"})
+    if not syms:
+        return None, None
+    length = max(1, len(syms).bit_length())
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return (bits, syms), _build_codes(bits, syms)
+
+
+def encode_progressive(img: np.ndarray, quality: int = 75,
+                       subsample: str = "444", scans=None,
+                       restart_interval: int = 0) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 as progressive JPEG
+    (SOF2). Same dimension constraints as encode_baseline.
+
+    scans: optional script of ("dc", [comp...], Ah, Al) and
+    ("ac", comp, Ss, Se, Ah, Al) tuples; the default covers every scan
+    kind and ends coefficient-lossless (final Al = 0 over the full band).
+    restart_interval: emit DRI + RSTn markers every n decode units
+    (MCUs for interleaved DC scans, blocks otherwise)."""
+    gray, h, w, qly, qlc, samp, qids, qblocks = _prep_blocks(
+        img, quality, subsample)
+    ncomp = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("dimensions must be multiples of the MCU size")
+    mcux = w // (8 * hmax)
+    mcuy = h // (8 * vmax)
+    grids = [(h * vs // vmax // 8, w * hs // hmax // 8) for hs, vs in samp]
+
+    if scans is None:
+        comps_all = list(range(ncomp))
+        if gray:
+            scans = [
+                ("dc", comps_all, 0, 1),
+                ("ac", 0, 1, 5, 0, 2), ("ac", 0, 6, 63, 0, 2),
+                ("ac", 0, 1, 63, 2, 1),
+                ("dc", comps_all, 1, 0),
+                ("ac", 0, 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ("dc", comps_all, 0, 1),
+                ("ac", 0, 1, 5, 0, 2), ("ac", 2, 1, 63, 0, 1),
+                ("ac", 1, 1, 63, 0, 1), ("ac", 0, 6, 63, 0, 2),
+                ("ac", 0, 1, 63, 2, 1),
+                ("dc", comps_all, 1, 0),
+                ("ac", 2, 1, 63, 1, 0), ("ac", 1, 1, 63, 1, 0),
+                ("ac", 0, 1, 63, 1, 0),
+            ]
+
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, qly), (1, qlc)):
+        if gray and tid == 1:
+            continue
+        seg = bytes([tid]) + bytes(int(x) for x in qt[ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(seg) + 2) + seg
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qids[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    ri = restart_interval
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+
+    for scan in scans:
+        if scan[0] == "dc":
+            _, scan_comps, ah, al = scan
+            ss = se = 0
+            if ah == 0:
+                ops = _dc_first_ops(scan_comps, qblocks, samp, grids,
+                                    mcux, mcuy, al, ri)
+            else:
+                ops = _dc_refine_ops(scan_comps, qblocks, samp, grids,
+                                     mcux, mcuy, al, ri)
+            cls = 0
+        else:
+            _, ci, ss, se, ah, al = scan
+            scan_comps = [ci]
+            if ah == 0:
+                ops = _ac_first_ops(qblocks[ci], ss, se, al, ri)
+            else:
+                ops = _ac_refine_ops(qblocks[ci], ss, se, al, ri)
+            cls = 1
+        table, codes = _scan_table(ops)
+        if table is not None:  # DC refinement scans code no symbols
+            bits, syms = table
+            seg = bytes([cls << 4]) + bytes(bits) + bytes(syms)
+            out += b"\xff\xc4" + struct.pack(">H", len(seg) + 2) + seg
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0])  # Td = Ta = 0, redefined per scan
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bw = _BitWriter()
+        for op in ops:
+            if op[0] == "s":
+                code, ln = codes[op[1]]
+                bw.write(code, ln)
+            elif op[0] == "r":
+                bw.restart(op[1])
+            else:
+                bw.write(op[1], op[2])
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -217,17 +217,19 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8,
                  with_status: bool = False) -> DataFrame:
     """Decode + feature-extract in Arrow batches.
 
-    PNG payloads decode FOR REAL (decode_png) and so do baseline JPEGs
-    (functions/jpeg.decode_baseline): width/height from the header,
-    features = per-channel pixel means (float32; JPEG RGB gets an implicit
-    opaque alpha mean of 255 so both formats emit 4 features). Other codecs
-    raise NotImplementedError at task time unless fake=True, which runs the
-    deterministic stand-in (width/height from payload length, rolling
-    checksum features) — same schema, partitioning, and batch shape.
+    PNG payloads decode FOR REAL (decode_png) and so do baseline AND
+    progressive JPEGs (functions/jpeg.decode): width/height from the
+    header, features = per-channel pixel means (float32; JPEG RGB gets an
+    implicit opaque alpha mean of 255 so both formats emit 4 features).
+    Other codecs raise NotImplementedError at task time unless fake=True,
+    which runs the deterministic stand-in (width/height from payload
+    length, rolling checksum features) — same schema, partitioning, and
+    batch shape.
 
     with_status=True states the compressed-codec boundary as a CONTRACT
     instead of a docstring: unsupported codecs (MP3/AAC/MP4/H.264 and
-    decoder-declared gaps like progressive JPEG or non-PCM WAV) become
+    decoder-declared gaps like lossless/arithmetic JPEG or non-PCM WAV)
+    become
     rows with status='unsupported_codec' and NULL dims/features; decoded
     rows carry status='ok'. Output schema gains the `status` column
     (FEATURE_STATUS_SCHEMA). Corrupt payloads (ValueError) still raise —
@@ -260,7 +262,7 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8,
                 buf = bytes(r.payload)
                 h = int.from_bytes(hashlib.md5(buf).digest()[:8], "big") >> 1
                 # real-decoder routing: a NotImplementedError from a decoder
-                # (non-PCM WAV, progressive JPEG, ...) is a codec gap — it
+                # (non-PCM WAV, arithmetic-coded JPEG, ...) is a codec gap — it
                 # becomes a status row under with_status, falls through to
                 # the stand-in under fake=True, and raises otherwise;
                 # corrupt data (ValueError) always surfaces

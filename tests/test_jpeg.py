@@ -66,9 +66,13 @@ def test_smooth_gradient_high_quality_near_exact():
 def test_decoder_rejects_non_baseline():
     with pytest.raises(ValueError):
         jpeg.decode_baseline(b"\x89PNG\r\n\x1a\n")
-    # progressive SOF2 marker
-    bogus = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x08" + b"\x08\x00\x10\x00\x10\x01" + b"\xff\xd9"
+    # lossless-sequential SOF3 stays out of scope
+    bogus = b"\xff\xd8" + b"\xff\xc3" + b"\x00\x08" + b"\x08\x00\x10\x00\x10\x01" + b"\xff\xd9"
     with pytest.raises(NotImplementedError):
+        jpeg.decode_baseline(bogus)
+    # progressive SOF2 is in scope now, but a header with no scan is corrupt
+    bogus = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x08" + b"\x08\x00\x10\x00\x10\x01" + b"\xff\xd9"
+    with pytest.raises(ValueError):
         jpeg.decode_baseline(bogus)
 
 
