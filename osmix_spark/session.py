@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Long-lived drivers (test suites, notebook sessions, streaming
+        # jobs) accumulate localCheckpoint/broadcast blocks whose Python
+        # references are gone but whose JVM weak refs only get enqueued on
+        # a driver GC; the default 30min periodic GC effectively never
+        # fires inside a 30min job. 2min keeps block-manager heap flat.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
