@@ -35,6 +35,33 @@ def portable_hash64_sql(expr: str, seed: str = "") -> str:
     return f"(('0x' || substr(md5('{seed}' || '|' || CAST({expr} AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT"
 
 
+def portable_hash64_pair(col: Column, seed: str = "mh") -> tuple[Column, Column]:
+    """ONE md5, TWO independent 60-bit hashes (hex chars 1-15 and 17-31).
+
+    The Kirsch-Mitzenmacher base pair (h1, h2): the derived family
+    h_i = h1 + i*h2 behaves like i independent hashes for sketching
+    (Kirsch & Mitzenmacher 2006, "Less Hashing, Same Performance").
+    For minhash this cuts hashing cost per shingle from num_hashes md5s
+    to one — the signature stage is hash-bound at corpus scale. Each h_i
+    is individually uniform (collision property per column is exact);
+    only the cross-column variance is mildly higher than independent
+    hashes — the accepted KM tradeoff.
+    No overflow: h1, h2 < 2^60, so h1 + i*h2 < 2^63 for i <= 7."""
+    m = F.md5(F.concat(F.lit(seed), F.lit("|"), col.cast("string")))
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def portable_hash64_pair_sql(expr: str, seed: str = "mh") -> tuple[str, str]:
+    """The DuckDB-side twin of ``portable_hash64_pair``."""
+    m = f"md5('{seed}' || '|' || CAST({expr} AS VARCHAR))"
+    return (
+        f"(('0x' || substr({m}, 1, 15))::UBIGINT)::BIGINT",
+        f"(('0x' || substr({m}, 17, 15))::UBIGINT)::BIGINT",
+    )
+
+
 def fast_hash64(*cols: Column) -> Column:
     return F.xxhash64(*cols)
 

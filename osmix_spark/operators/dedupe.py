@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text
-from ..functions.hashing import portable_hash64
+from ..functions.hashing import portable_hash64, portable_hash64_pair
 
 _MOD = 1_000_000_007
 
@@ -46,10 +46,14 @@ def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 8) -> DataFrame:
-    """One pass: H min-hash columns h0..h{H-1} per document."""
+    """One pass: H min-hash columns h0..h{H-1} per document.
+
+    ONE md5 per shingle, H derived hashes h_i = h1 + i*h2
+    (Kirsch-Mitzenmacher) — at corpus scale the signature stage is
+    hash-bound, so this is an Hx cut in per-shingle CPU."""
+    h1, h2 = portable_hash64_pair(F.col("sh"))
     return shingles.groupBy(id_col).agg(
-        *[F.min(portable_hash64(F.col("sh"), f"mh{i}")).alias(f"h{i}")
-          for i in range(num_hashes)]
+        *[F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 

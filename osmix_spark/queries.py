@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions import geo, text
-from .functions.hashing import portable_hash64, portable_hash64_sql
+from .functions.hashing import (portable_hash64, portable_hash64_pair,
+                                portable_hash64_pair_sql, portable_hash64_sql)
 from .operators import merge, spatial
 from .sources import synth
 
@@ -1033,13 +1034,12 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_SEEDS = tuple(f"mh{i}" for i in range(8))
-
-def _minhash_sql() -> str:
+def _minhash_pair_cte() -> str:
+    """Shared SQL front: distinct shingles -> Kirsch-Mitzenmacher base
+    pair (h1, h2) from ONE md5 per shingle (functions/hashing
+    .portable_hash64_pair: the derived family h_i = h1 + i*h2)."""
     shingle = "array_to_string(toks[i:i+2], ' ')"
-    cols = ",\n        ".join(
-        f"min({portable_hash64_sql('s.sh', seed)}) AS {seed}" for seed in _MINHASH_SEEDS
-    )
+    sql1, sql2 = portable_hash64_pair_sql("s.sh")
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     sh AS (
@@ -1047,18 +1047,29 @@ def _minhash_sql() -> str:
              unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                                    i -> {shingle})) AS sh
       FROM t WHERE len(toks) >= 3
-    ) , s AS (SELECT DISTINCT doc_id, sh FROM sh)
+    ), s AS (SELECT DISTINCT doc_id, sh FROM sh),
+    hp AS (SELECT doc_id, sh, {sql1} AS h1, {sql2} AS h2 FROM s)
+    """
+
+
+def _minhash_sql() -> str:
+    cols = ",\n        ".join(
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(8)
+    )
+    return f"""
+    {_minhash_pair_cte()}
     SELECT doc_id,
         {cols}
-    FROM s GROUP BY doc_id
+    FROM hp GROUP BY doc_id
     """
 
 
 @_q("text_minhash", _minhash_sql())
 def text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 portable hash functions over distinct word
+    """MinHash signatures (8 derived hash functions over distinct word
     3-shingles) — the signature stage of MinHash-LSH near-dup detection.
-    One shingle explode, 8 mins aggregated in a single pass."""
+    One shingle explode, ONE md5 per shingle (h_i = h1 + i*h2,
+    Kirsch-Mitzenmacher), 8 mins aggregated in a single pass."""
     # small parquet reads as one split; spread rows before the shingle
     # explode so the md5 work parallelizes (at real scale the scan has
     # thousands of splits and this repartition is a no-op to remove)
@@ -1070,28 +1081,23 @@ def text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(text.shingles_from_tokens(F.col("toks"), 3)).alias("sh"))
         .distinct()
     )
+    h1, h2 = portable_hash64_pair(F.col("sh"))
     return sh.groupBy("doc_id").agg(
-        *[F.min(portable_hash64(F.col("sh"), seed)).alias(seed) for seed in _MINHASH_SEEDS]
+        *[F.min(h1 + F.lit(i) * h2).alias(f"mh{i}") for i in range(8)]
     )
 
 
 @_q(
     "text_lsh_pairs",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      FROM t WHERE len(toks) >= 3
-    ), s AS (SELECT DISTINCT doc_id, sh FROM sh),
+    {_minhash_pair_cte()},
     sig AS (
       SELECT doc_id,
-             min({portable_hash64_sql('s.sh', 'mh0')}) AS b0,
-             min({portable_hash64_sql('s.sh', 'mh1')}) AS b1,
-             min({portable_hash64_sql('s.sh', 'mh2')}) AS b2,
-             min({portable_hash64_sql('s.sh', 'mh3')}) AS b3
-      FROM s GROUP BY doc_id
+             min(h1 + 0 * h2) AS b0,
+             min(h1 + 1 * h2) AS b1,
+             min(h1 + 2 * h2) AS b2,
+             min(h1 + 3 * h2) AS b3
+      FROM hp GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, 0 AS band, (b0 % 1000000007) * 1000003 + (b1 % 1000000007) AS bh FROM sig
@@ -1117,8 +1123,9 @@ def text_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(text.shingles_from_tokens(F.col("toks"), 3)).alias("sh"))
         .distinct()
     )
+    h1, h2 = portable_hash64_pair(F.col("sh"))
     sig = sh.groupBy("doc_id").agg(
-        *[F.min(portable_hash64(F.col("sh"), f"mh{i}")).alias(f"b{i}") for i in range(4)]
+        *[F.min(h1 + F.lit(i) * h2).alias(f"b{i}") for i in range(4)]
     )
     bands = sig.select(
         "doc_id", F.lit(0).alias("band"), ((F.col("b0") % 1000000007) * 1000003 + (F.col("b1") % 1000000007)).alias("bh")
@@ -1374,7 +1381,7 @@ def text_dedupe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_sql() -> str:
     sig_min = ",\n             ".join(
-        f"min({portable_hash64_sql('s.sh', f'mh{i}')}) AS h{i}" for i in range(8)
+        f"min(h1 + {i} * h2) AS h{i}" for i in range(8)
     )
     band_rows = []
     for b in range(4):
@@ -1384,13 +1391,8 @@ def _jaccard_sql() -> str:
         band_rows.append(f"SELECT doc_id, {b} AS band, {bh} AS bh FROM sig")
     bands = " UNION ALL ".join(band_rows)
     return f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    sh AS (
-      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      FROM t WHERE len(toks) >= 3
-    ), s AS (SELECT DISTINCT doc_id, sh FROM sh),
-    sig AS (SELECT doc_id, {sig_min} FROM s GROUP BY doc_id),
+    {_minhash_pair_cte()},
+    sig AS (SELECT doc_id, {sig_min} FROM hp GROUP BY doc_id),
     bands AS ({bands}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -190,3 +190,34 @@ def test_connected_components_iteration_cap_raises(spark):
     comp = {r["id"]: r["component"]
             for r in dedupe.connected_components(pairs).collect()}
     assert set(comp.values()) == {1}
+
+
+def test_hash_pair_family_parity(spark):
+    """portable_hash64_pair: Spark column expr == DuckDB SQL twin ==
+    plain-python md5, and the derived family h_i = h1 + i*h2 stays inside
+    int64 (Kirsch-Mitzenmacher minhash base)."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from osmix_spark.functions.hashing import (portable_hash64_pair,
+                                               portable_hash64_pair_sql)
+
+    vals = ["hello world", "", "a b c", "ünïcode", "x\ny", "0", "long " * 50]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    h1, h2 = portable_hash64_pair(F.col("v"))
+    got = {r["v"]: (r["h1"], r["h2"])
+           for r in df.select("v", h1.alias("h1"), h2.alias("h2")).collect()}
+    sql1, sql2 = portable_hash64_pair_sql("v")
+    con = duckdb.connect()
+    for v in vals:
+        m = hashlib.md5(("mh|" + v).encode()).hexdigest()
+        expect = (int(m[0:15], 16), int(m[16:31], 16))
+        assert got[v] == expect, v
+        duck = con.execute(
+            f"SELECT {sql1}, {sql2} FROM (SELECT ? AS v)", [v]
+        ).fetchone()
+        assert tuple(duck) == expect, v
+        # family stays in int64 for i <= 7
+        assert expect[0] + 7 * expect[1] < 1 << 63

@@ -71,8 +71,18 @@ sf_dir = {sf_dir!r}
 # waves), which distorts the efficiency ratio
 nbytes = sum(os.path.getsize(p) for p in glob.glob(os.path.join({out_path!r}, "*.parquet")))
 chunk = max(8 << 20, nbytes // (cores * 4))
+# Pre-touch the whole heap at JVM start (-Xms = -Xmx + AlwaysPreTouch):
+# this sandbox's guest memory is lazily host-backed and first-touch page
+# faults can stall 100x (measured 0.06 GB/s vs 7 GB/s steady). Without
+# pre-touch the timed reps pay that backing cost as the heap grows —
+# serialized host-side, so it hits the 4N level harder and reads as a
+# scaling failure when it is a host artifact. Pre-touching moves the
+# cost to JVM startup, outside the timed window. (On a real cluster the
+# same flag is standard practice for latency-sensitive executors.)
 spark = get_spark("scaling", cores=cores, shuffle_partitions=max(cores, 4),
-                  extra={{"spark.sql.files.maxPartitionBytes": str(chunk)}})
+                  extra={{"spark.sql.files.maxPartitionBytes": str(chunk),
+                          "spark.driver.extraJavaOptions":
+                          "-Xms4g -XX:+AlwaysPreTouch"}})
 spark.sparkContext.setLogLevel("ERROR")
 
 pages = spark.read.parquet({out_path!r}).select(
@@ -105,20 +115,35 @@ def sentinel():
     c = time.process_time() - c0
     return round(w / max(c, 1e-9), 3)
 
+def mem_probe():
+    # first-touch backing speed (transparency only: the pre-touched JVM
+    # heap insulates the timed job from this; recorded so a sick-host
+    # window is visible next to the pair it overlapped)
+    import numpy as np
+    t0 = time.perf_counter()
+    a = np.arange(10_000_000, dtype=np.int64)
+    a = a + 1
+    dt = time.perf_counter() - t0
+    del a
+    return round(dt, 3)
+
 sent = [sentinel()]
+mem = [mem_probe()]
 n_pages = pages.count()
 job()  # warm codegen/JIT
 times = []
 for _ in range(3):
     t0 = time.time(); job(); times.append(time.time() - t0)
 sent.append(sentinel())
+mem.append(mem_probe())
 times_sorted = sorted(times)
 best = times_sorted[len(times_sorted) // 2]  # median: robust to bg noise
 spread = (times_sorted[-1] - times_sorted[0]) / best
 print(json.dumps({{"cores": cores, "n_pages": n_pages, "sec": round(best, 3),
                    "rows_per_sec": round(n_pages / best, 1),
                    "times": [round(t,3) for t in times],
-                   "sentinel": sent, "spread": round(spread, 3)}}))
+                   "sentinel": sent, "mem_probe": mem,
+                   "spread": round(spread, 3)}}))
 spark.stop()
 """
 
@@ -127,7 +152,10 @@ def run_level(cores: int, sf_dir: str, out_path: str) -> dict:
     code = CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, out_path=out_path)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=900,
-        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+        # 4g heap: -Xms must equal -Xmx for AlwaysPreTouch to cover the
+        # whole heap (a lazily grown 4g->8g tail would fault mid-rep)
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores),
+             "SPARK_DRIVER_MEM": "4g"},
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -140,8 +168,17 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     out_path = os.environ.get("SPARK_GRAFT_PAGES_PATH", "/tmp/osmix_scaling_pages.parquet")
-    prep = PREP.format(repo=REPO, replicate=replicate, sf_dir=sf_dir, out_path=out_path)
-    subprocess.run([sys.executable, "-c", prep], check=True, capture_output=True, timeout=900)
+    marker = out_path + ".prep.json"
+    want = {"replicate": replicate, "sf_dir": sf_dir}
+    have = None
+    if os.path.exists(os.path.join(out_path, "_SUCCESS")) and os.path.exists(marker):
+        with open(marker) as f:
+            have = json.load(f)
+    if have != want:  # (re)build the input; skip when identical (it's ~5GB)
+        prep = PREP.format(repo=REPO, replicate=replicate, sf_dir=sf_dir, out_path=out_path)
+        subprocess.run([sys.executable, "-c", prep], check=True, capture_output=True, timeout=900)
+        with open(marker, "w") as f:
+            json.dump(want, f)
     # interleave lo/hi pairs so both levels sample the same background
     # noise; report the median-efficiency pair AND the min (a noisy host
     # must not be able to flip the PASS: the r3 pair spread straddled the
