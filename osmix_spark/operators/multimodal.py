@@ -159,6 +159,7 @@ def decode_png(data: bytes):
 
 _JPEG_MAGIC = b"\xff\xd8"
 _RIFF_MAGIC = b"RIFF"
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
 def decode_wav(data: bytes):
@@ -218,9 +219,11 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8,
     """Decode + feature-extract in Arrow batches.
 
     PNG payloads decode FOR REAL (decode_png) and so do baseline AND
-    progressive JPEGs (functions/jpeg.decode): width/height from the
-    header, features = per-channel pixel means (float32; JPEG RGB gets an
-    implicit opaque alpha mean of 255 so both formats emit 4 features).
+    progressive JPEGs (functions/jpeg.decode) and GIF87a/89a
+    (functions/gif — LZW, interlace, local tables; animations contribute
+    their first composited frame): width/height from the header, features
+    = per-channel pixel means (float32; JPEG RGB gets an implicit opaque
+    alpha mean of 255 so all image formats emit 4 features).
     Other codecs raise NotImplementedError at task time unless fake=True,
     which runs the deterministic stand-in (width/height from payload
     length, rolling checksum features) — same schema, partitioning, and
@@ -301,6 +304,10 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8,
                         img = decode_png(buf)
                     elif buf[:2] == _JPEG_MAGIC:
                         img = _jpeg.decode_baseline(buf)
+                    elif buf[:6] in _GIF_MAGICS:
+                        from ..functions.gif import decode_gif
+
+                        img = decode_gif(buf)  # first frame, RGBA
                 except NotImplementedError:
                     if with_status:
                         unsupported(r, h, buf)
@@ -606,32 +613,50 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling (the training-pipeline 'decode every Nth frame'
-    transform) over MJPG payloads: one output row per sampled frame with
-    raster dims and mean luma, Arrow-batched. Frames decode with the real
-    baseline JPEG decoder; other containers raise NotImplementedError."""
+    transform) over MJPG containers AND animated GIFs: one output row per
+    sampled frame with raster dims and mean luma, Arrow-batched. MJPG
+    frames decode with the real baseline JPEG decoder; GIF frames are the
+    real LZW decode composited per the animation disposal rules (mean
+    luma over the RGB planes, alpha excluded). Other containers raise
+    NotImplementedError."""
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from ..functions import jpeg as _jpeg
+        from ..functions.gif import gif_frames
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 buf = bytes(r.payload)
-                if buf[:4] != _MJPG_MAGIC:
+                if buf[:4] == _MJPG_MAGIC:
+                    frames = mjpeg_frames(buf)
+                    decoded = [
+                        (fi, _jpeg.decode_baseline(frames[fi]), len(frames))
+                        for fi in range(0, len(frames), every_n)
+                    ]
+                elif buf[:6] in _GIF_MAGICS:
+                    # compositing frame k needs frames 0..k-1, so the GIF
+                    # decodes fully and sampling selects from the canvas
+                    # sequence; luma excludes the alpha plane
+                    gframes, _w, _h = gif_frames(buf)
+                    decoded = [
+                        (fi, gframes[fi][:, :, :3], len(gframes))
+                        for fi in range(0, len(gframes), every_n)
+                    ]
+                else:
                     raise NotImplementedError(
-                        "only the MJPG frame container decodes in this "
-                        "environment (real video codecs are out of scope)"
+                        "only the MJPG frame container and animated GIF "
+                        "decode in this environment (real video codecs "
+                        "are out of scope)"
                     )
-                frames = mjpeg_frames(buf)
-                for fi in range(0, len(frames), every_n):
-                    img = _jpeg.decode_baseline(frames[fi])
+                for fi, img, n in decoded:
                     rows.append(
                         {
                             "media_id": int(r.media_id),
                             "frame_index": fi,
-                            "n_frames": len(frames),
+                            "n_frames": n,
                             "width": int(img.shape[1]),
                             "height": int(img.shape[0]),
                             "mean_luma": np.float32(img.mean()),
@@ -640,6 +665,45 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.select("media_id", "payload").mapInPandas(go, schema=FRAME_SCHEMA)
+
+
+def synth_gif_media(ids: DataFrame, size: int = 16, n_frames: int = 4,
+                    ncolors: int = 64) -> DataFrame:
+    """REAL deterministic GIFs: per id, n_frames full-canvas frames where
+    frame f's pixel (x, y) holds palette index (x + 3y + id + 7f) %
+    ncolors and palette[i] = ((5i)%256, (11i)%256, (23i)%256). GIF is
+    lossless, so pixel statistics are closed-form for SQL oracles while
+    the bytes exercise the whole container + LZW path; EVEN ids are
+    written interlaced (the decoder must produce identical pixels either
+    way, so the oracle pins de-interlacing too). n_frames > 1 makes an
+    animated GIF89a (NETSCAPE loop + per-frame GCEs)."""
+    from ..functions.gif import encode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(ncolors, dtype=np.int64)
+        pal = np.stack([(5 * i) % 256, (11 * i) % 256, (23 * i) % 256],
+                       axis=-1).astype(np.uint8)
+        x = np.arange(size, dtype=np.int64)[None, :]
+        y = np.arange(size, dtype=np.int64)[:, None]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                frames = [
+                    ((x + 3 * y + mid + 7 * f) % ncolors).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                payload = encode_gif(frames, pal, interlace=(mid % 2 == 0))
+                kind = "video" if n_frames > 1 else "image"
+                rows.append(
+                    {"media_id": mid, "kind": kind, "mime": "image/gif",
+                     "payload": payload, "meta": None}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

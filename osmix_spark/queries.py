@@ -1974,6 +1974,50 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_gif",
+    """
+    WITH g AS (SELECT doc_id AS media_id FROM documents),
+    px AS (
+      SELECT media_id, ff.f, xx.x, yy.y
+      FROM g, (VALUES (0), (3)) ff(f), range(0, 16) xx(x), range(0, 16) yy(y)
+    ),
+    m AS (
+      SELECT media_id, f,
+             sum(  (5 * ((x + 3 * y + media_id + 7 * f) % 64)) % 256
+                 + (11 * ((x + 3 * y + media_id + 7 * f) % 64)) % 256
+                 + (23 * ((x + 3 * y + media_id + 7 * f) % 64)) % 256
+             )::DOUBLE / 768.0 AS luma
+      FROM px GROUP BY media_id, f
+    )
+    SELECT media_id, f::INT AS frame_index, 4::INT AS n_frames,
+           16::INT AS width, 16::INT AS height,
+           round(luma::REAL::DOUBLE, 5) AS mean_luma
+    FROM m
+    """,
+    extra=True,
+)
+def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF decode + frame sampling: deterministic 4-frame GIF89a
+    per document (even ids INTERLACED — the oracle pins de-interlacing),
+    every 3rd frame sampled through the real LZW + compositing path
+    (functions/gif, operators/multimodal.sample_video_frames); per-frame
+    mean luma hash-compares against the closed-form palette expectation
+    (GIF is lossless, so the statistics are exact). Extra tier — pinned by
+    tests/test_oracle_extra.py."""
+    from .operators import multimodal as _mm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    media = _mm.synth_gif_media(docs, size=16, n_frames=4, ncolors=64)
+    out = _mm.sample_video_frames(media, every_n=3)
+    return out.select(
+        "media_id", "frame_index", "n_frames", "width", "height",
+        F.round(F.col("mean_luma").cast("double"), 5).alias("mean_luma"),
+    )
+
+
+@_q(
     "multimodal_resize",
     """
     WITH g AS (SELECT doc_id AS media_id FROM documents),
