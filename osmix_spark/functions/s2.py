@@ -1,0 +1,386 @@
+"""S2 cell index — canonical Hilbert-curve cells on the unit sphere.
+
+BASELINE.json's north rule calls for an "H3/S2 index" as the spatial
+partitioning key; the quadkey cells in `functions/geo.py` are the
+Web-Mercator analog, and this module supplies the literal S2 option: the
+standard cube-face + quadratic-ST + Hilbert-curve construction (public
+algorithm, see the S2 geometry library design docs / "S2 cells" write-ups).
+
+Three synchronized implementations, kept in lockstep:
+
+- `s2_cell_np(lon, lat, level)` — vectorized NumPy (tests, mapInPandas).
+- `with_s2_key(df, ...)` — Spark Columns only (whole-stage codegen; the
+  1024-entry Hilbert lookup table rides along as a broadcast 1-row array
+  column so the plan carries ONE copy, not one per `element_at`).
+- `s2_cell_duckdb_sql(...)` — the DuckDB oracle twin (chained CTEs,
+  identical expression order so IEEE doubles agree bit-for-bit).
+
+Key layout: the canonical S2 cell id packs `face(3) | pos(2*level) | 1`
+into a uint64, which overflows SIGNED int64 for faces 4-5 — unusable as a
+cross-engine join/hash key (Spark has no unsigned 64-bit type). We
+therefore expose the *prefix-preserving packed key*
+
+    key(level) = face * 4^level + hilbert_pos(level)
+
+which is < 6 * 4^30 < 2^63 at every level and keeps the two properties
+partitioning needs: parent(key) == key >> 2, and the children of k are
+exactly [k<<2, (k<<2)+3] — so containment filters are BETWEEN range scans
+and level rollups are bit shifts. `s2_id_np` / `s2_token_np` still emit
+the canonical uint64 id / hex token for interop with external S2 tooling.
+
+At 100 TB: `with_s2_key` is pure codegen (zero Python), so cell assignment
+rides the scan; writing data partitioned/bucketed by a coarse-level key
+gives the same partition-pruning story as the quadkey layout in
+`sources/layout.py`, with better locality (Hilbert adjacency) for
+range-scanned spatial sweeps.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+MAX_LEVEL = 30
+_LOOKUP_BITS = 4
+_SWAP = 1
+_INVERT = 2
+
+# Hilbert sub-cell traversal orders (standard S2 constants)
+_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_POS_TO_ORIENT = (_SWAP, 0, 0, _INVERT + _SWAP)
+
+
+@lru_cache(maxsize=1)
+def _tables() -> tuple[np.ndarray, np.ndarray]:
+    """(lookup_pos, lookup_ij): 4-level Hilbert step tables, 1024 entries.
+
+    lookup_pos[(i4<<4 | j4) << 2 | orient] = (pos8 << 2) | new_orient
+    lookup_ij [(pos8       ) << 2 | orient] = (i4<<4|j4) << 2 | new_orient
+    """
+    lookup_pos = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.int64)
+    lookup_ij = np.zeros_like(lookup_pos)
+
+    def init(level: int, i: int, j: int, orig: int, pos: int, orient: int):
+        if level == _LOOKUP_BITS:
+            ij = (i << _LOOKUP_BITS) + j
+            lookup_pos[(ij << 2) + orig] = (pos << 2) + orient
+            lookup_ij[(pos << 2) + orig] = (ij << 2) + orient
+            return
+        r = _POS_TO_IJ[orient]
+        for index in range(4):
+            ij = r[index]
+            init(level + 1, (i << 1) + (ij >> 1), (j << 1) + (ij & 1),
+                 orig, (pos << 2) + index, orient ^ _POS_TO_ORIENT[index])
+
+    for o in range(4):
+        init(0, 0, 0, o, 0, o)
+    return lookup_pos, lookup_ij
+
+
+# ---------------------------------------------------------------------------
+# NumPy path
+# ---------------------------------------------------------------------------
+
+def _xyz_from_lonlat(lon: np.ndarray, lat: np.ndarray):
+    lon_r, lat_r = np.radians(lon), np.radians(lat)
+    cl = np.cos(lat_r)
+    return cl * np.cos(lon_r), cl * np.sin(lon_r), np.sin(lat_r)
+
+
+def _face_uv_np(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    # largest absolute component picks the cube face (+3 when negative);
+    # ties broken x-then-y-then-z, same comparison order as the SQL twin
+    fx = (ax >= ay) & (ax >= az)
+    fy = ~fx & (ay >= az)
+    fz = ~fx & ~fy
+    face = np.where(fx, np.where(x > 0, 0, 3),
+                    np.where(fy, np.where(y > 0, 1, 4),
+                             np.where(z > 0, 2, 5))).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y], default=-x / z)
+    del fz
+    return face, u, v
+
+
+def _st_from_uv_np(u: np.ndarray) -> np.ndarray:
+    # S2's quadratic projection (area-uniformizing, invertible); np.where
+    # evaluates both branches, so mask the sqrt args to their own branch
+    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * np.maximum(u, 0.0)),
+                    1.0 - 0.5 * np.sqrt(1.0 - 3.0 * np.minimum(u, 0.0)))
+
+
+def _ij_from_st_np(s: np.ndarray) -> np.ndarray:
+    n = 1 << MAX_LEVEL
+    return np.clip(np.floor(s * n), 0, n - 1).astype(np.int64)
+
+
+def _pos_from_faceij_np(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    lookup_pos, _ = _tables()
+    bits = face & _SWAP
+    pos = np.zeros_like(i)
+    for k in range(7, -1, -1):
+        bits = bits + (((i >> (k * 4)) & 15) << 6) + (((j >> (k * 4)) & 15) << 2)
+        bits = lookup_pos[bits]
+        pos |= (bits >> 2) << (k * 8)
+        bits &= 3
+    return pos
+
+
+def s2_cell_np(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """Packed prefix key face*4^level + pos_level (int64-safe)."""
+    face, u, v = _face_uv_np(*_xyz_from_lonlat(np.asarray(lon, dtype=np.float64),
+                                               np.asarray(lat, dtype=np.float64)))
+    i = _ij_from_st_np(_st_from_uv_np(u))
+    j = _ij_from_st_np(_st_from_uv_np(v))
+    pos = _pos_from_faceij_np(face, i, j)
+    shift = 2 * (MAX_LEVEL - level)
+    return (face << (2 * level)) + (pos >> shift)
+
+
+def s2_id_np(lon: np.ndarray, lat: np.ndarray, level: int = MAX_LEVEL) -> np.ndarray:
+    """Canonical uint64 S2 cell id: face(3) | pos | lsb marker."""
+    key = s2_cell_np(lon, lat, level).astype(np.uint64)
+    face = key >> np.uint64(2 * level)
+    pos = key & ((np.uint64(1) << np.uint64(2 * level)) - np.uint64(1))
+    # re-expand pos to the 60-bit field, set the level's trailing 1-bit
+    pos_full = pos << np.uint64(2 * (MAX_LEVEL - level))
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return (face << np.uint64(61)) | (pos_full << np.uint64(1)) | lsb
+
+
+def s2_token_np(ids: np.ndarray) -> list[str]:
+    """Canonical hex token: 16 hex digits, trailing zeros stripped."""
+    out = []
+    for v in ids.astype(np.uint64):
+        t = format(int(v), "016x").rstrip("0")
+        out.append(t or "X")
+    return out
+
+
+def s2_cell_center_np(key: np.ndarray, level: int):
+    """(lon, lat) of each packed key's center — test/debug decode path."""
+    _, lookup_ij = _tables()
+    key = np.asarray(key, dtype=np.int64)
+    face = key >> (2 * level)
+    pos = (key & ((np.int64(1) << (2 * level)) - 1)) << (2 * (MAX_LEVEL - level))
+    bits = face & _SWAP
+    i = np.zeros_like(key)
+    j = np.zeros_like(key)
+    for k in range(7, -1, -1):
+        bits = bits + (((pos >> (k * 8)) & 255) << 2)
+        bits = lookup_ij[bits]
+        i |= (bits >> 6) << (k * 4)
+        j |= ((bits >> 2) & 15) << (k * 4)
+        bits &= 3
+    # the decoded (i, j) is the leaf where the curve ENTERS the cell —
+    # mask down to the cell's ij base, then offset to the midpoint
+    if level < MAX_LEVEL:
+        size = np.int64(1) << (MAX_LEVEL - level)
+        i &= ~(size - 1)
+        j &= ~(size - 1)
+        half = float(size >> 1)
+    else:
+        half = 0.5
+    n = float(1 << MAX_LEVEL)
+    s = (i + half) / n
+    t = (j + half) / n
+    u = np.where(s >= 0.5, (4.0 * s * s - 1.0) / 3.0, (1.0 - 4.0 * (1.0 - s) ** 2) / 3.0)
+    v = np.where(t >= 0.5, (4.0 * t * t - 1.0) / 3.0, (1.0 - 4.0 * (1.0 - t) ** 2) / 3.0)
+    one = np.ones_like(u)
+    # inverse of _face_uv_np's per-face (u, v) definitions
+    x = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [one, -u, -u, -one, v], default=v)
+    y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [u, one, -v, -v, -one], default=u)
+    z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [v, v, one, -u, -u], default=-one)
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return lon, lat
+
+
+def s2_parent_np(key: np.ndarray, levels_up: int = 1) -> np.ndarray:
+    return np.asarray(key, dtype=np.int64) >> (2 * levels_up)
+
+
+def s2_range_np(key: int, level: int, child_level: int) -> tuple[int, int]:
+    """[lo, hi] packed-key range of `key`'s descendants at child_level."""
+    d = 2 * (child_level - level)
+    return key << d, ((key + 1) << d) - 1
+
+
+# ---------------------------------------------------------------------------
+# Spark path (pure Columns — zero Python at runtime)
+# ---------------------------------------------------------------------------
+
+_N30 = 1 << MAX_LEVEL
+
+
+def _st_col(u: Column) -> Column:
+    return F.when(u >= 0, F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * u)) \
+        .otherwise(F.lit(1.0) - F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * u))
+
+
+def _ij_col(s: Column) -> Column:
+    return F.least(
+        F.greatest(F.floor(s * F.lit(float(_N30))), F.lit(0)),
+        F.lit(_N30 - 1),
+    ).cast("long")
+
+
+def with_s2_key(df: DataFrame, lon: str = "lon", lat: str = "lat",
+                level: int = 12, out: str = "s2_key") -> DataFrame:
+    """Append the packed S2 key at `level`. Whole-stage-codegen only; the
+    Hilbert lookup table joins in as ONE broadcast 1-row array column, so
+    each of the 16 `element_at` references shares a single literal.
+
+    The 8 Hilbert steps are separate projections on purpose: Catalyst's
+    CollapseProject declines to inline non-cheap duplicated expressions, so
+    the plan stays a 16-deep projection chain, not a 2^8 expression tree.
+    """
+    spark = df.sparkSession
+    lookup_pos, _ = _tables()
+    lut = spark.range(1).select(
+        F.lit([int(x) for x in lookup_pos]).alias("__s2_lut"))
+    lon_r, lat_r = F.radians(F.col(lon)), F.radians(F.col(lat))
+    d = (
+        df.crossJoin(F.broadcast(lut))
+        .withColumn("__x", F.cos(lat_r) * F.cos(lon_r))
+        .withColumn("__y", F.cos(lat_r) * F.sin(lon_r))
+        .withColumn("__z", F.sin(lat_r))
+    )
+    x, y, z = F.col("__x"), F.col("__y"), F.col("__z")
+    face = (
+        F.when((F.abs(x) >= F.abs(y)) & (F.abs(x) >= F.abs(z)),
+               F.when(x > 0, 0).otherwise(3))
+        .when(F.abs(y) >= F.abs(z), F.when(y > 0, 1).otherwise(4))
+        .otherwise(F.when(z > 0, 2).otherwise(5))
+    ).cast("long")
+    d = d.withColumn("__face", face)
+    f = F.col("__face")
+    u = (
+        F.when(f == 0, y / x).when(f == 1, -x / y).when(f == 2, -x / z)
+        .when(f == 3, z / x).when(f == 4, z / y).otherwise(-y / z)
+    )
+    v = (
+        F.when(f == 0, z / x).when(f == 1, z / y).when(f == 2, -y / z)
+        .when(f == 3, y / x).when(f == 4, -x / y).otherwise(-x / z)
+    )
+    d = (
+        d.withColumn("__i", _ij_col(_st_col(u)))
+        .withColumn("__j", _ij_col(_st_col(v)))
+        .withColumn("__bits", f.bitwiseAND(F.lit(1).cast("long")))
+        .withColumn("__pos", F.lit(0).cast("long"))
+    )
+    for k in range(7, -1, -1):
+        raw = (
+            F.col("__bits")
+            + F.shiftleft(F.shiftright(F.col("__i"), k * 4).bitwiseAND(F.lit(15).cast("long")), 6)
+            + F.shiftleft(F.shiftright(F.col("__j"), k * 4).bitwiseAND(F.lit(15).cast("long")), 2)
+        )
+        d = d.withColumn("__bits", F.element_at(F.col("__s2_lut"), (raw + F.lit(1)).cast("int")).cast("long"))
+        d = d.withColumn(
+            "__pos",
+            F.col("__pos").bitwiseOR(F.shiftleft(F.shiftright(F.col("__bits"), 2), k * 8)),
+        ).withColumn("__bits", F.col("__bits").bitwiseAND(F.lit(3).cast("long")))
+    shift = 2 * (MAX_LEVEL - level)
+    d = d.withColumn(
+        out,
+        F.shiftleft(f, 2 * level) + F.shiftright(F.col("__pos"), shift),
+    )
+    return d.drop("__s2_lut", "__x", "__y", "__z", "__face", "__i", "__j",
+                  "__bits", "__pos")
+
+
+def s2_parent(key: Column, levels_up: int = 1) -> Column:
+    """Packed-key parent — a bit shift, usable in partition pruning."""
+    return F.shiftright(key, 2 * levels_up)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin — identical expression ORDER so IEEE doubles agree
+# ---------------------------------------------------------------------------
+
+def s2_cell_duckdb_sql(base_sql: str, select_cols: str, lon_sql: str,
+                       lat_sql: str, level: int, out: str = "s2_key") -> str:
+    """Full DuckDB query computing the packed S2 key over `base_sql`.
+
+    `select_cols` are passthrough output columns (comma-joined SQL). The 8
+    Hilbert steps are chained CTEs over a single 1024-entry list literal
+    (1-indexed, same as Spark's element_at).
+    """
+    lookup_pos, _ = _tables()
+    lut = "[" + ",".join(str(int(x)) for x in lookup_pos) + "]"
+    n30 = float(_N30)
+
+    def st(usql: str) -> str:
+        return (f"(CASE WHEN {usql} >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * {usql})"
+                f" ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {usql}) END)")
+
+    def ij(ssql: str) -> str:
+        return (f"CAST(least(greatest(floor({ssql} * {n30}), 0),"
+                f" {_N30 - 1}) AS BIGINT)")
+
+    steps = []
+    for k in range(7, -1, -1):
+        prev = f"__b{k + 1}" if k < 7 else None
+        bits_in = f"(__b{k + 1} & 3)" if prev else "__bits0"
+        steps.append(
+            f"__s2_k{k} AS (SELECT *, __lut[CAST({bits_in}"
+            f" + (((__i >> {k * 4}) & 15) << 6)"
+            f" + (((__j >> {k * 4}) & 15) << 2) + 1 AS INT)] AS __b{k}"
+            f" FROM __s2_k{k + 1 if k < 7 else 'ij'})"
+        )
+    pos = " + ".join(f"((__b{k}::BIGINT >> 2) << {k * 8})"
+                     for k in range(7, -1, -1))
+    shift = 2 * (MAX_LEVEL - level)
+    return f"""
+WITH __s2_base AS (
+  SELECT {select_cols}, {lon_sql} AS __lon, {lat_sql} AS __lat, {lut} AS __lut
+  FROM {base_sql}
+),
+__s2_xyz AS (
+  SELECT *,
+         cos(radians(__lat)) * cos(radians(__lon)) AS __x,
+         cos(radians(__lat)) * sin(radians(__lon)) AS __y,
+         sin(radians(__lat)) AS __z
+  FROM __s2_base
+),
+__s2_face AS (
+  SELECT *,
+         CAST(CASE WHEN abs(__x) >= abs(__y) AND abs(__x) >= abs(__z)
+                   THEN CASE WHEN __x > 0 THEN 0 ELSE 3 END
+                   WHEN abs(__y) >= abs(__z)
+                   THEN CASE WHEN __y > 0 THEN 1 ELSE 4 END
+                   ELSE CASE WHEN __z > 0 THEN 2 ELSE 5 END END AS BIGINT)
+           AS __face
+  FROM __s2_xyz
+),
+__s2_uv AS (
+  SELECT *,
+         CASE __face WHEN 0 THEN __y / __x WHEN 1 THEN -__x / __y
+                     WHEN 2 THEN -__x / __z WHEN 3 THEN __z / __x
+                     WHEN 4 THEN __z / __y ELSE -__y / __z END AS __u,
+         CASE __face WHEN 0 THEN __z / __x WHEN 1 THEN __z / __y
+                     WHEN 2 THEN -__y / __z WHEN 3 THEN __y / __x
+                     WHEN 4 THEN -__x / __y ELSE -__x / __z END AS __v
+  FROM __s2_face
+),
+__s2_kij AS (
+  SELECT *, {ij(st('__u'))} AS __i, {ij(st('__v'))} AS __j,
+         (__face & 1) AS __bits0
+  FROM __s2_uv
+),
+{",".join(steps)}
+SELECT {select_cols},
+       ((__face << {2 * level}) + (({pos}) >> {shift})) AS {out}
+FROM __s2_k0
+"""

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import geo, text
+from .functions import geo, s2 as s2f, text
 from .functions.hashing import (portable_hash64, portable_hash64_pair,
                                 portable_hash64_pair_sql, portable_hash64_sql)
 from .operators import merge, spatial
@@ -273,6 +273,29 @@ def geo_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         geo.tile_x(F.col("lon"), z).alias("tile_x"),
         geo.tile_y(F.col("lat"), z).alias("tile_y"),
         geo.cell_key(F.col("lon"), F.col("lat"), z).alias("cell"),
+    )
+
+
+_S2_LEVEL = 12
+
+@_q(
+    "geo_s2_cell_assign",
+    f"""
+    SELECT doc_id, s2_key, (s2_key >> 8) AS s2_parent
+    FROM ({s2f.s2_cell_duckdb_sql("documents", "doc_id", DOC_LON_SQL,
+                                  DOC_LAT_SQL, _S2_LEVEL)}) t
+    """,
+    extra=True,
+)
+def geo_s2_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point -> packed S2 Hilbert cell key at level 12 + its level-8 parent
+    (bit shift) — the literal H3/S2 index from BASELINE.json's north rule;
+    the quadkey twin is geo_cell_assign."""
+    pts = _doc_points(spark, sf_dir)
+    d = s2f.with_s2_key(pts, level=_S2_LEVEL)
+    return d.select(
+        "doc_id", "s2_key",
+        s2f.s2_parent(F.col("s2_key"), _S2_LEVEL - 8).alias("s2_parent"),
     )
 
 
