@@ -218,6 +218,173 @@ def s2_range_np(key: int, level: int, child_level: int) -> tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
+# Neighbors + bbox covering (driver-side, NumPy)
+# ---------------------------------------------------------------------------
+
+def _uv_from_st_ext_np(s: np.ndarray) -> np.ndarray:
+    """Inverse quadratic transform, EXTENDED monotonically outside [0,1]
+    (used to place out-of-face neighbor centers on the cube)."""
+    return np.where(s >= 0.5, (4.0 * s * s - 1.0) / 3.0,
+                    (1.0 - 4.0 * (1.0 - s) ** 2) / 3.0)
+
+
+def _xyz_from_face_uv_np(face, u, v):
+    one = np.ones_like(u)
+    x = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [one, -u, -u, -one, v], default=v)
+    y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [u, one, -v, -v, -one], default=u)
+    z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [v, v, one, -u, -u], default=-one)
+    return x, y, z
+
+
+def _faceij_from_key_np(key: np.ndarray, level: int):
+    """Decode packed key -> (face, i, j) of the cell's MIN leaf corner."""
+    _, lookup_ij = _tables()
+    key = np.asarray(key, dtype=np.int64)
+    face = key >> (2 * level)
+    pos = (key & ((np.int64(1) << (2 * level)) - 1)) << (2 * (MAX_LEVEL - level))
+    bits = face & _SWAP
+    i = np.zeros_like(key)
+    j = np.zeros_like(key)
+    for k in range(7, -1, -1):
+        bits = bits + (((pos >> (k * 8)) & 255) << 2)
+        bits = lookup_ij[bits]
+        i |= (bits >> 6) << (k * 4)
+        j |= ((bits >> 2) & 15) << (k * 4)
+        bits &= 3
+    if level < MAX_LEVEL:
+        size = np.int64(1) << (MAX_LEVEL - level)
+        i &= ~(size - 1)
+        j &= ~(size - 1)
+    return face, i, j
+
+
+def _key_from_face_st_np(face, s, t, level: int) -> np.ndarray:
+    i = _ij_from_st_np(np.asarray(s))
+    j = _ij_from_st_np(np.asarray(t))
+    pos = _pos_from_faceij_np(np.asarray(face, dtype=np.int64), i, j)
+    return (np.asarray(face, dtype=np.int64) << (2 * level)) \
+        + (pos >> (2 * (MAX_LEVEL - level)))
+
+
+def s2_edge_neighbors_np(key: np.ndarray, level: int) -> np.ndarray:
+    """(n, 4) packed keys of the 4 edge neighbors, cross-face wrap included.
+
+    Out-of-face neighbors are resolved by placing the neighbor's CENTER on
+    the extended cube (the inverse-ST quadratic extrapolates monotonically
+    past the face edge, face->XYZ is linear on the whole plane), then
+    re-encoding that direction — the cube's edge identification maps cell
+    centers to cell centers, so the re-encode lands exactly on the
+    neighbor cell.
+    """
+    key = np.atleast_1d(np.asarray(key, dtype=np.int64))
+    face, i, j = _faceij_from_key_np(key, level)
+    size = np.int64(1) << (MAX_LEVEL - level)
+    half = float(size) / 2.0
+    n30 = float(1 << MAX_LEVEL)
+    out = np.empty((key.shape[0], 4), dtype=np.int64)
+    for col, (di, dj) in enumerate(((0, -1), (1, 0), (0, 1), (-1, 0))):
+        ni = i + di * size
+        nj = j + dj * size
+        s = (ni + half) / n30
+        t = (nj + half) / n30
+        inside = (ni >= 0) & (ni < (1 << MAX_LEVEL)) & \
+                 (nj >= 0) & (nj < (1 << MAX_LEVEL))
+        # same-face fast path
+        same = _key_from_face_st_np(face, s, t, level)
+        # wrapped path: extended uv -> xyz -> re-encode
+        u = _uv_from_st_ext_np(s)
+        v = _uv_from_st_ext_np(t)
+        x, y, z = _xyz_from_face_uv_np(face, u, v)
+        nface, nu, nv = _face_uv_np(x, y, z)
+        wrapped = _key_from_face_st_np(
+            nface, _st_from_uv_np(nu), _st_from_uv_np(nv), level)
+        out[:, col] = np.where(inside, same, wrapped)
+    return out
+
+
+def _corner_lonlat_np(key: np.ndarray, level: int):
+    """(lon[n,4], lat[n,4]) of each cell's 4 exact corners."""
+    key = np.atleast_1d(np.asarray(key, dtype=np.int64))
+    face, i, j = _faceij_from_key_np(key, level)
+    size = np.int64(1) << (MAX_LEVEL - level)
+    n30 = float(1 << MAX_LEVEL)
+    lons, lats = [], []
+    for di, dj in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        s = (i + di * size) / n30
+        t = (j + dj * size) / n30
+        u = _uv_from_st_ext_np(s)
+        v = _uv_from_st_ext_np(t)
+        x, y, z = _xyz_from_face_uv_np(face, u, v)
+        lons.append(np.degrees(np.arctan2(y, x)))
+        lats.append(np.degrees(np.arctan2(z, np.hypot(x, y))))
+    return np.stack(lons, axis=1), np.stack(lats, axis=1)
+
+
+def s2_cover_bbox(west: float, south: float, east: float, north: float,
+                  level: int, max_cells: int = 65536) -> list[int]:
+    """Conservative SUPERSET covering of a lon/lat bbox at `level`.
+
+    BFS over edge neighbors from the bbox-center cell, keeping any cell
+    whose corner box — padded by its own diagonal (covers great-circle
+    edge bulge and pole-containing cells) — intersects the bbox. Extra
+    cells only cost pruning efficiency; readers must still refine with
+    the exact predicate. Longitudes compare on the circle, so the
+    antimeridian is handled. Driver-side: cells at the partition level
+    are few (the partitioning contract, not a data-scale loop).
+    """
+    seed = int(s2_cell_np(np.array([(west + east) / 2.0 if west <= east
+                                    else ((west + east + 360.0) / 2.0)]),
+                          np.array([(south + north) / 2.0]), level)[0])
+    seen = {seed}
+    queue = [seed]
+    cover: list[int] = []
+
+    def lon_dist(a: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        # 0 when a inside [lo, hi] on the circle, else degrees outside
+        if lo <= hi:
+            inside = (a >= lo) & (a <= hi)
+            d = np.minimum(np.abs((a - lo + 180.0) % 360.0 - 180.0),
+                           np.abs((a - hi + 180.0) % 360.0 - 180.0))
+        else:  # wraps the antimeridian
+            inside = (a >= lo) | (a <= hi)
+            d = np.minimum(np.abs((a - lo + 180.0) % 360.0 - 180.0),
+                           np.abs((a - hi + 180.0) % 360.0 - 180.0))
+        return np.where(inside, 0.0, d)
+
+    while queue:
+        batch = np.array(queue, dtype=np.int64)
+        queue = []
+        clon, clat = _corner_lonlat_np(batch, level)
+        # conservative pad: max pairwise corner separation per cell
+        pad = np.zeros(batch.shape[0])
+        for a in range(4):
+            for b in range(a + 1, 4):
+                dl = np.abs((clon[:, a] - clon[:, b] + 180.0) % 360.0 - 180.0)
+                pad = np.maximum(pad, np.maximum(
+                    dl, np.abs(clat[:, a] - clat[:, b])))
+        lat_gap = np.maximum(
+            np.maximum(south - clat.max(axis=1), clat.min(axis=1) - north), 0.0)
+        lon_gap = lon_dist(clon, west, east).min(axis=1)
+        hits = (lat_gap <= pad) & (lon_gap <= pad)
+        for key, hit in zip(batch.tolist(), hits.tolist()):
+            if not hit:
+                continue
+            cover.append(key)
+            if len(cover) > max_cells:
+                raise ValueError(
+                    f"s2_cover_bbox exceeded max_cells={max_cells} at "
+                    f"level {level}; use a coarser level for this bbox")
+            for nb in s2_edge_neighbors_np(np.array([key]), level)[0].tolist():
+                if nb not in seen:
+                    seen.add(nb)
+                    queue.append(nb)
+    return sorted(cover)
+
+
+# ---------------------------------------------------------------------------
 # Spark path (pure Columns — zero Python at runtime)
 # ---------------------------------------------------------------------------
 

@@ -76,6 +76,45 @@ def read_bbox(spark: SparkSession, path: str, west: float, south: float,
     )
 
 
+S2_PARTITION_LEVEL = 7   # ~100 km cells, a few thousand land partitions
+S2_FINE_LEVEL = 16       # row-group sort key (~600 m locality)
+
+
+def write_s2_partitioned(df: DataFrame, path: str,
+                         lon: str = "lon", lat: str = "lat",
+                         level: int = S2_PARTITION_LEVEL,
+                         fine_level: int = S2_FINE_LEVEL) -> None:
+    """The S2 twin of write_cell_partitioned: hive-partition by the coarse
+    packed S2 key, sort within files by the fine key. Hilbert adjacency
+    means the fine-key sort clusters ground-adjacent rows into the same
+    row groups (better min/max pruning than Z-order for range sweeps)."""
+    from ..functions import s2
+
+    out = s2.with_s2_key(
+        s2.with_s2_key(df, lon=lon, lat=lat, level=level, out="s2_p"),
+        lon=lon, lat=lat, level=fine_level, out="s2_f",
+    ).repartition("s2_p").sortWithinPartitions("s2_p", "s2_f")
+    out.write.mode("overwrite").partitionBy("s2_p").parquet(path)
+
+
+def read_bbox_s2(spark: SparkSession, path: str, west: float, south: float,
+                 east: float, north: float,
+                 level: int = S2_PARTITION_LEVEL,
+                 lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Bbox read over an S2-partitioned layout: the bbox is covered
+    driver-side with partition-level cells (conservative superset —
+    s2_cover_bbox), pushed as an IN filter on the partition column so the
+    scan plans only matching directories, then refined with the exact
+    bbox predicate (exactness never depends on the covering)."""
+    from ..functions import s2
+
+    cells = s2.s2_cover_bbox(west, south, east, north, level)
+    df = spark.read.parquet(path)
+    return df.filter(F.col("s2_p").isin([int(c) for c in cells])).filter(
+        geo.in_bbox(F.col(lon), F.col(lat), west, south, east, north, epsilon=0.0)
+    )
+
+
 def write_bucketed(df: DataFrame, name: str, path: str, key: str = "id",
                    n_buckets: int = 16) -> None:
     """Bucketed table write: hash-bucket by `key` and sort within buckets.

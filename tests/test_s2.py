@@ -93,6 +93,78 @@ def test_hilbert_locality_beats_random():
     assert np.median(jumps) <= 4
 
 
+def test_edge_neighbors_symmetric_and_distinct():
+    lon, lat = _rand_lonlat(300, seed=3)
+    # force face-edge and near-corner cells into the sample
+    lon = np.concatenate([lon, [44.9999, 45.0001, -135.0, 0.0, 90.0]])
+    lat = np.concatenate([lat, [0.0, 35.2644, 35.2644, 89.9, -89.9]])
+    for level in (2, 7, 12):
+        keys = np.unique(s2.s2_cell_np(lon, lat, level))
+        nbrs = s2.s2_edge_neighbors_np(keys, level)
+        for row, k in enumerate(keys):
+            ns = nbrs[row]
+            assert k not in ns
+            assert len(set(ns.tolist())) == 4
+            # symmetry: k is an edge neighbor of each of its neighbors
+            for nb in ns:
+                back = s2.s2_edge_neighbors_np(np.array([nb]), level)[0]
+                assert k in back, (level, int(k), int(nb))
+
+
+def test_cover_bbox_is_superset():
+    west, south, east, north = -122.5, 37.2, -121.7, 38.1
+    for level in (5, 8, 10):
+        cover = set(s2.s2_cover_bbox(west, south, east, north, level))
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(west, east, 5000)
+        lat = rng.uniform(south, north, 5000)
+        inside = set(s2.s2_cell_np(lon, lat, level).tolist())
+        assert inside <= cover, f"level {level}: missing {inside - cover}"
+    # covering stays proportionate (superset, not the planet)
+    assert len(s2.s2_cover_bbox(west, south, east, north, 10)) < 4000
+
+
+def test_cover_bbox_antimeridian():
+    cover = set(s2.s2_cover_bbox(179.0, -10.0, -179.0, 10.0, 6))
+    rng = np.random.default_rng(9)
+    lon = np.where(rng.uniform(size=2000) < 0.5,
+                   rng.uniform(179.0, 180.0, 2000),
+                   rng.uniform(-180.0, -179.0, 2000))
+    lat = rng.uniform(-10.0, 10.0, 2000)
+    assert set(s2.s2_cell_np(lon, lat, 6).tolist()) <= cover
+
+
+def test_s2_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """S2-layout twin of test_cell_partitioned_layout_prunes: planning-time
+    partition pruning via the covering, byte-exact results via refine."""
+    from pyspark.sql import functions as F
+
+    from osmix_spark.sources import layout
+
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 37 % 340) - 170.0 + 0.5).alias("lon"),
+        ((F.col("doc_id") * 91 % 140) - 70.0 + 0.5).alias("lat"),
+    )
+    path = str(tmp_path / "s2cells")
+    layout.write_s2_partitioned(pts, path, level=4)
+
+    full = spark.read.parquet(path)
+    pruned = layout.read_bbox_s2(spark, path, -1.0, -1.0, 6.0, 6.0, level=4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [s2_p" in plan
+
+    def n_files(df):
+        return df.select(F.input_file_name()).distinct().count()
+
+    assert n_files(pruned) < n_files(full) / 4
+    expect = pts.filter(
+        (F.col("lon") >= -1.0) & (F.col("lon") <= 6.0)
+        & (F.col("lat") >= -1.0) & (F.col("lat") <= 6.0)
+    ).count()
+    assert pruned.count() == expect
+
+
 def test_spark_matches_numpy_and_duckdb(spark, sf_dir):
     from osmix_spark.queries import EXTRA_ORACLES, EXTRA_QUERIES
 
