@@ -59,6 +59,7 @@ FAST_QUERIES = [
     "q3_order_revenue",
     "q_window_top_orders",
     "geo_cell_assign",
+    "geo_s2_cell_assign",
     "geo_knn",
     "geo_point_in_polygon",
     "geo_bbox_overlap_join",
