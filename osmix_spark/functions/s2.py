@@ -385,86 +385,92 @@ def s2_cover_bbox(west: float, south: float, east: float, north: float,
 
 
 # ---------------------------------------------------------------------------
-# Spark path (pure Columns — zero Python at runtime)
+# Shared SQL generator — ONE template for Spark and DuckDB, so the engine
+# and its oracle stay in float-op lockstep by construction
 # ---------------------------------------------------------------------------
 
 _N30 = 1 << MAX_LEVEL
 
 
-def _st_col(u: Column) -> Column:
-    return F.when(u >= 0, F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * u)) \
-        .otherwise(F.lit(1.0) - F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * u))
+def _s2_select_exprs(lon_sql: str, lat_sql: str, level: int, dialect: str,
+                     out: str = "s2_key") -> list[str]:
+    """Ordered `expr AS alias` select-list items computing the packed key.
 
+    Both engines resolve select-list aliases LATERALLY, so the whole
+    pipeline is one projection: one analysis pass on Spark (chained
+    withColumns re-analyze a growing plan per call — measured ~1.5s of
+    driver time per query build at 16 steps) and no CTE chain on DuckDB.
+    Only integer shift/index syntax differs per dialect; every floating-
+    point expression is emitted from the same template string, so IEEE
+    doubles agree bit-for-bit.
+    """
+    lookup_pos, _ = _tables()
+    vals = ",".join(str(int(x)) for x in lookup_pos)
+    if dialect == "spark":
+        def shl(a, n): return f"shiftleft({a}, {n})"
+        def shr(a, n): return f"shiftright({a}, {n})"
+        def idx(i): return f"element_at(__s2_lut, CAST({i} AS INT))"
+        lut_lit = f"array({vals})"
+    elif dialect == "duckdb":
+        def shl(a, n): return f"({a} << {n})"
+        def shr(a, n): return f"({a} >> {n})"
+        def idx(i): return f"__s2_lut[CAST({i} AS INT)]"
+        lut_lit = f"[{vals}]"
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
 
-def _ij_col(s: Column) -> Column:
-    return F.least(
-        F.greatest(F.floor(s * F.lit(float(_N30))), F.lit(0)),
-        F.lit(_N30 - 1),
-    ).cast("long")
+    def st(u: str) -> str:
+        return (f"(CASE WHEN {u} >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * {u})"
+                f" ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {u}) END)")
+
+    def ij(s: str) -> str:
+        return (f"CAST(least(greatest(floor({s} * {float(_N30)}), 0),"
+                f" {_N30 - 1}) AS BIGINT)")
+
+    exprs = [
+        f"{lut_lit} AS __s2_lut",
+        f"{lon_sql} AS __s2lon",
+        f"{lat_sql} AS __s2lat",
+        "cos(radians(__s2lat)) * cos(radians(__s2lon)) AS __s2x",
+        "cos(radians(__s2lat)) * sin(radians(__s2lon)) AS __s2y",
+        "sin(radians(__s2lat)) AS __s2z",
+        "CAST(CASE WHEN abs(__s2x) >= abs(__s2y) AND abs(__s2x) >= abs(__s2z)"
+        " THEN CASE WHEN __s2x > 0 THEN 0 ELSE 3 END"
+        " WHEN abs(__s2y) >= abs(__s2z)"
+        " THEN CASE WHEN __s2y > 0 THEN 1 ELSE 4 END"
+        " ELSE CASE WHEN __s2z > 0 THEN 2 ELSE 5 END END AS BIGINT) AS __s2f",
+        "CASE __s2f WHEN 0 THEN __s2y / __s2x WHEN 1 THEN -__s2x / __s2y"
+        " WHEN 2 THEN -__s2x / __s2z WHEN 3 THEN __s2z / __s2x"
+        " WHEN 4 THEN __s2z / __s2y ELSE -__s2y / __s2z END AS __s2u",
+        "CASE __s2f WHEN 0 THEN __s2z / __s2x WHEN 1 THEN __s2z / __s2y"
+        " WHEN 2 THEN -__s2y / __s2z WHEN 3 THEN __s2y / __s2x"
+        " WHEN 4 THEN -__s2x / __s2y ELSE -__s2x / __s2z END AS __s2v",
+        f"{ij(st('__s2u'))} AS __s2i",
+        f"{ij(st('__s2v'))} AS __s2j",
+        "(__s2f & 1) AS __s2b8",
+    ]
+    for k in range(7, -1, -1):
+        nib_i = shl("(" + shr("__s2i", k * 4) + " & 15)", 6)
+        nib_j = shl("(" + shr("__s2j", k * 4) + " & 15)", 2)
+        raw = f"((__s2b{k + 1} & 3) + {nib_i} + {nib_j} + 1)"
+        exprs.append(f"CAST({idx(raw)} AS BIGINT) AS __s2b{k}")
+    pos = " + ".join(shl(f"({shr(f'__s2b{k}', 2)})", k * 8)
+                     for k in range(7, -1, -1))
+    shift = 2 * (MAX_LEVEL - level)
+    exprs.append(
+        f"({shl('__s2f', 2 * level)} + {shr(f'({pos})', shift)}) AS {out}")
+    return exprs
 
 
 def with_s2_key(df: DataFrame, lon: str = "lon", lat: str = "lat",
                 level: int = 12, out: str = "s2_key") -> DataFrame:
-    """Append the packed S2 key at `level`. Whole-stage-codegen only; the
-    Hilbert lookup table joins in as ONE broadcast 1-row array column, so
-    each of the 16 `element_at` references shares a single literal.
-
-    The 8 Hilbert steps are separate projections on purpose: Catalyst's
-    CollapseProject declines to inline non-cheap duplicated expressions, so
-    the plan stays a 16-deep projection chain, not a 2^8 expression tree.
-    """
-    spark = df.sparkSession
-    lookup_pos, _ = _tables()
-    lut = spark.range(1).select(
-        F.lit([int(x) for x in lookup_pos]).alias("__s2_lut"))
-    lon_r, lat_r = F.radians(F.col(lon)), F.radians(F.col(lat))
-    d = (
-        df.crossJoin(F.broadcast(lut))
-        .withColumn("__x", F.cos(lat_r) * F.cos(lon_r))
-        .withColumn("__y", F.cos(lat_r) * F.sin(lon_r))
-        .withColumn("__z", F.sin(lat_r))
-    )
-    x, y, z = F.col("__x"), F.col("__y"), F.col("__z")
-    face = (
-        F.when((F.abs(x) >= F.abs(y)) & (F.abs(x) >= F.abs(z)),
-               F.when(x > 0, 0).otherwise(3))
-        .when(F.abs(y) >= F.abs(z), F.when(y > 0, 1).otherwise(4))
-        .otherwise(F.when(z > 0, 2).otherwise(5))
-    ).cast("long")
-    d = d.withColumn("__face", face)
-    f = F.col("__face")
-    u = (
-        F.when(f == 0, y / x).when(f == 1, -x / y).when(f == 2, -x / z)
-        .when(f == 3, z / x).when(f == 4, z / y).otherwise(-y / z)
-    )
-    v = (
-        F.when(f == 0, z / x).when(f == 1, z / y).when(f == 2, -y / z)
-        .when(f == 3, y / x).when(f == 4, -x / y).otherwise(-x / z)
-    )
-    d = (
-        d.withColumn("__i", _ij_col(_st_col(u)))
-        .withColumn("__j", _ij_col(_st_col(v)))
-        .withColumn("__bits", f.bitwiseAND(F.lit(1).cast("long")))
-        .withColumn("__pos", F.lit(0).cast("long"))
-    )
-    for k in range(7, -1, -1):
-        raw = (
-            F.col("__bits")
-            + F.shiftleft(F.shiftright(F.col("__i"), k * 4).bitwiseAND(F.lit(15).cast("long")), 6)
-            + F.shiftleft(F.shiftright(F.col("__j"), k * 4).bitwiseAND(F.lit(15).cast("long")), 2)
-        )
-        d = d.withColumn("__bits", F.element_at(F.col("__s2_lut"), (raw + F.lit(1)).cast("int")).cast("long"))
-        d = d.withColumn(
-            "__pos",
-            F.col("__pos").bitwiseOR(F.shiftleft(F.shiftright(F.col("__bits"), 2), k * 8)),
-        ).withColumn("__bits", F.col("__bits").bitwiseAND(F.lit(3).cast("long")))
-    shift = 2 * (MAX_LEVEL - level)
-    d = d.withColumn(
-        out,
-        F.shiftleft(f, 2 * level) + F.shiftright(F.col("__pos"), shift),
-    )
-    return d.drop("__s2_lut", "__x", "__y", "__z", "__face", "__i", "__j",
-                  "__bits", "__pos")
+    """Append the packed S2 key at `level` — pure whole-stage codegen,
+    zero Python at runtime, built as ONE lateral-alias projection (one
+    analysis pass; the Hilbert lookup array is one select-list alias
+    shared by all 16 element_at references)."""
+    keep = list(df.columns)
+    exprs = _s2_select_exprs(lon, lat, level, "spark", out)
+    return df.selectExpr("*", *exprs).select(*keep, out)
 
 
 def s2_parent(key: Column, levels_up: int = 1) -> Column:
@@ -472,82 +478,9 @@ def s2_parent(key: Column, levels_up: int = 1) -> Column:
     return F.shiftright(key, 2 * levels_up)
 
 
-# ---------------------------------------------------------------------------
-# DuckDB oracle twin — identical expression ORDER so IEEE doubles agree
-# ---------------------------------------------------------------------------
-
 def s2_cell_duckdb_sql(base_sql: str, select_cols: str, lon_sql: str,
                        lat_sql: str, level: int, out: str = "s2_key") -> str:
-    """Full DuckDB query computing the packed S2 key over `base_sql`.
-
-    `select_cols` are passthrough output columns (comma-joined SQL). The 8
-    Hilbert steps are chained CTEs over a single 1024-entry list literal
-    (1-indexed, same as Spark's element_at).
-    """
-    lookup_pos, _ = _tables()
-    lut = "[" + ",".join(str(int(x)) for x in lookup_pos) + "]"
-    n30 = float(_N30)
-
-    def st(usql: str) -> str:
-        return (f"(CASE WHEN {usql} >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * {usql})"
-                f" ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {usql}) END)")
-
-    def ij(ssql: str) -> str:
-        return (f"CAST(least(greatest(floor({ssql} * {n30}), 0),"
-                f" {_N30 - 1}) AS BIGINT)")
-
-    steps = []
-    for k in range(7, -1, -1):
-        prev = f"__b{k + 1}" if k < 7 else None
-        bits_in = f"(__b{k + 1} & 3)" if prev else "__bits0"
-        steps.append(
-            f"__s2_k{k} AS (SELECT *, __lut[CAST({bits_in}"
-            f" + (((__i >> {k * 4}) & 15) << 6)"
-            f" + (((__j >> {k * 4}) & 15) << 2) + 1 AS INT)] AS __b{k}"
-            f" FROM __s2_k{k + 1 if k < 7 else 'ij'})"
-        )
-    pos = " + ".join(f"((__b{k}::BIGINT >> 2) << {k * 8})"
-                     for k in range(7, -1, -1))
-    shift = 2 * (MAX_LEVEL - level)
-    return f"""
-WITH __s2_base AS (
-  SELECT {select_cols}, {lon_sql} AS __lon, {lat_sql} AS __lat, {lut} AS __lut
-  FROM {base_sql}
-),
-__s2_xyz AS (
-  SELECT *,
-         cos(radians(__lat)) * cos(radians(__lon)) AS __x,
-         cos(radians(__lat)) * sin(radians(__lon)) AS __y,
-         sin(radians(__lat)) AS __z
-  FROM __s2_base
-),
-__s2_face AS (
-  SELECT *,
-         CAST(CASE WHEN abs(__x) >= abs(__y) AND abs(__x) >= abs(__z)
-                   THEN CASE WHEN __x > 0 THEN 0 ELSE 3 END
-                   WHEN abs(__y) >= abs(__z)
-                   THEN CASE WHEN __y > 0 THEN 1 ELSE 4 END
-                   ELSE CASE WHEN __z > 0 THEN 2 ELSE 5 END END AS BIGINT)
-           AS __face
-  FROM __s2_xyz
-),
-__s2_uv AS (
-  SELECT *,
-         CASE __face WHEN 0 THEN __y / __x WHEN 1 THEN -__x / __y
-                     WHEN 2 THEN -__x / __z WHEN 3 THEN __z / __x
-                     WHEN 4 THEN __z / __y ELSE -__y / __z END AS __u,
-         CASE __face WHEN 0 THEN __z / __x WHEN 1 THEN __z / __y
-                     WHEN 2 THEN -__y / __z WHEN 3 THEN __y / __x
-                     WHEN 4 THEN -__x / __y ELSE -__x / __z END AS __v
-  FROM __s2_face
-),
-__s2_kij AS (
-  SELECT *, {ij(st('__u'))} AS __i, {ij(st('__v'))} AS __j,
-         (__face & 1) AS __bits0
-  FROM __s2_uv
-),
-{",".join(steps)}
-SELECT {select_cols},
-       ((__face << {2 * level}) + (({pos}) >> {shift})) AS {out}
-FROM __s2_k0
-"""
+    """DuckDB oracle twin — same generator, duckdb shift/index syntax."""
+    exprs = _s2_select_exprs(lon_sql, lat_sql, level, "duckdb", out)
+    inner = f"SELECT {select_cols}, {', '.join(exprs)} FROM {base_sql}"
+    return f"SELECT {select_cols}, {out} FROM ({inner}) __s2_t"
