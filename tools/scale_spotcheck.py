@@ -87,9 +87,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_10x(spark, sf_dir, out_dir)
 
-    import __spark_entry__ as entry
+    from osmix_spark import queries as _q
 
-    qs = entry.queries()
+    qs = _q.all_queries()
     results = []
     for name in QUERIES:
         times = {}
