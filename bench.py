@@ -289,6 +289,9 @@ def main() -> None:
             if data["_polluted"] and retries_left > 0:
                 retries_left -= 1
                 queue.append((tag + "r", names))
+    if not workers:
+        print(json.dumps({"error": "every bench worker JVM crashed"}))
+        sys.exit(1)
     baseline = min(s["wall"] for w in workers for s in w["sentinel"])
 
     all_names = [FLAGSHIP] + FAST_QUERIES + SLOW_QUERIES
@@ -303,6 +306,14 @@ def main() -> None:
         if not cand:  # every JVM for this query hit noise: publish anyway, flagged
             cand = [w for w in workers if name in w["results"]]
             fallback.append(name)
+        if not cand:
+            # every JVM that ran this query crashed: publish the rest of
+            # the suite with the casualty flagged instead of dying on
+            # min() of an empty list
+            timings[name] = -1.0
+            spreads[name] = pass_spreads[name] = 0.0
+            fallback.append(name + ":crashed")
+            continue
         meds = [w["results"][name]["median"] for w in cand]
         timings[name] = round(min(meds), 3)
         # published spread = sample spread INSIDE the winning pass (the
@@ -317,7 +328,7 @@ def main() -> None:
         if w.get("flagship_pages"):
             flagship_pages = w["flagship_pages"]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_polluted = sum(1 for w in workers if w["_polluted"])
     out = {

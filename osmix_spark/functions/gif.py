@@ -96,7 +96,10 @@ def lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
                 width += 1
 
     it = iter(int(v) for v in indices)
-    prefix = next(it)
+    try:
+        prefix = next(it)
+    except StopIteration:
+        raise ValueError("cannot LZW-encode an empty index stream") from None
     for sym in it:
         key = (prefix, sym)
         code = table.get(key)

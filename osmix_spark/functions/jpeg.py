@@ -387,7 +387,9 @@ class _BitReader:
         """Consume an RSTn marker at a byte boundary."""
         self.acc = 0
         self.nbits = 0
-        assert self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        if not (self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected RSTn marker at restart boundary")
         self.pos += 2
 
 
@@ -765,6 +767,8 @@ def _reconstruct_progressive(comps, coefs, qts, w, h):
     vmax = max(c["v"] for c in comps)
     full = []
     for c in comps:
+        if c["tq"] not in qts:
+            raise ValueError(f"missing DQT for quant table id {c['tq']}")
         qt = qts[c["tq"]].reshape(64)  # natural order
         cf = coefs[c["idx"]].astype(np.float64) * qt[ZIGZAG]
         nat = np.zeros_like(cf)

@@ -166,42 +166,18 @@ def s2_token_np(ids: np.ndarray) -> list[str]:
 
 
 def s2_cell_center_np(key: np.ndarray, level: int):
-    """(lon, lat) of each packed key's center — test/debug decode path."""
-    _, lookup_ij = _tables()
-    key = np.asarray(key, dtype=np.int64)
-    face = key >> (2 * level)
-    pos = (key & ((np.int64(1) << (2 * level)) - 1)) << (2 * (MAX_LEVEL - level))
-    bits = face & _SWAP
-    i = np.zeros_like(key)
-    j = np.zeros_like(key)
-    for k in range(7, -1, -1):
-        bits = bits + (((pos >> (k * 8)) & 255) << 2)
-        bits = lookup_ij[bits]
-        i |= (bits >> 6) << (k * 4)
-        j |= ((bits >> 2) & 15) << (k * 4)
-        bits &= 3
-    # the decoded (i, j) is the leaf where the curve ENTERS the cell —
-    # mask down to the cell's ij base, then offset to the midpoint
-    if level < MAX_LEVEL:
-        size = np.int64(1) << (MAX_LEVEL - level)
-        i &= ~(size - 1)
-        j &= ~(size - 1)
-        half = float(size >> 1)
-    else:
-        half = 0.5
+    """(lon, lat) of each packed key's center — test/debug decode path.
+
+    Composition of the shared primitives: key -> (face, cell-base ij)
+    (_faceij_from_key_np), midpoint offset, inverse-ST (_uv_from_st_ext_np),
+    face->XYZ (_xyz_from_face_uv_np)."""
+    face, i, j = _faceij_from_key_np(key, level)
+    half = float((np.int64(1) << (MAX_LEVEL - level)) >> 1) \
+        if level < MAX_LEVEL else 0.5
     n = float(1 << MAX_LEVEL)
-    s = (i + half) / n
-    t = (j + half) / n
-    u = np.where(s >= 0.5, (4.0 * s * s - 1.0) / 3.0, (1.0 - 4.0 * (1.0 - s) ** 2) / 3.0)
-    v = np.where(t >= 0.5, (4.0 * t * t - 1.0) / 3.0, (1.0 - 4.0 * (1.0 - t) ** 2) / 3.0)
-    one = np.ones_like(u)
-    # inverse of _face_uv_np's per-face (u, v) definitions
-    x = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
-                  [one, -u, -u, -one, v], default=v)
-    y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
-                  [u, one, -v, -v, -one], default=u)
-    z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
-                  [v, v, one, -u, -u], default=-one)
+    u = _uv_from_st_ext_np((i + half) / n)
+    v = _uv_from_st_ext_np((j + half) / n)
+    x, y, z = _xyz_from_face_uv_np(face, u, v)
     lon = np.degrees(np.arctan2(y, x))
     lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
     return lon, lat

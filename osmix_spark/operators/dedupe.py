@@ -51,6 +51,13 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
     ONE md5 per shingle, H derived hashes h_i = h1 + i*h2
     (Kirsch-Mitzenmacher) — at corpus scale the signature stage is
     hash-bound, so this is an Hx cut in per-shingle CPU."""
+    if not 1 <= num_hashes <= 8:
+        # h1 + i*h2 is proven < 2^63 only for i <= 7 (portable_hash64_pair
+        # sizes h1/h2 for that bound); beyond it Spark's non-ANSI bigint
+        # silently wraps while the DuckDB oracle errors — never allow the
+        # divergence to happen quietly
+        raise ValueError("num_hashes must be in [1, 8] for the "
+                         "overflow-free Kirsch-Mitzenmacher derivation")
     h1, h2 = portable_hash64_pair(F.col("sh"))
     return shingles.groupBy(id_col).agg(
         *[F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)]

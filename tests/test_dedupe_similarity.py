@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from osmix_spark.operators import dedupe, similarity
@@ -221,3 +222,12 @@ def test_hash_pair_family_parity(spark):
         assert tuple(duck) == expect, v
         # family stays in int64 for i <= 7
         assert expect[0] + 7 * expect[1] < 1 << 63
+
+
+def test_minhash_rejects_overflow_prone_num_hashes(spark):
+    from osmix_spark.operators import dedupe
+
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    sh = dedupe.shingle_set(docs)
+    with pytest.raises(ValueError):
+        dedupe.minhash_signatures(sh, num_hashes=16)

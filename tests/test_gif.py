@@ -236,3 +236,12 @@ def test_sample_video_frames_mixed_mjpg_and_gif(spark):
         assert sorted(r["frame_index"] for r in rows) == [0, 2]
         assert all(r["n_frames"] == 4 for r in rows)
         assert all((r["width"], r["height"]) == (16, 16) for r in rows)
+
+
+def test_lzw_encode_empty_raises_valueerror():
+    import numpy as np
+
+    from osmix_spark.functions import gif as g
+
+    with pytest.raises(ValueError):
+        g.encode_gif([np.zeros((0, 0), np.uint8)], [(0, 0, 0)])

@@ -130,3 +130,32 @@ def test_progressive_flows_through_decode_media(spark):
     assert len(rows) == 1
     assert rows[0]["status"] == "ok"
     assert rows[0]["width"] == 16 and rows[0]["height"] == 16
+
+
+def test_missing_dqt_raises_valueerror():
+    # stripping the DQT segments must surface as the documented ValueError
+    # contract, not a KeyError from the reconstruct step
+    img = _grad(16, 16)
+    blob = jpeg.encode_progressive(img)
+    out, i = bytearray(), 0
+    while i < len(blob):
+        if blob[i] == 0xFF and blob[i + 1] == 0xDB:  # DQT
+            seglen = int.from_bytes(blob[i + 2:i + 4], "big")
+            i += 2 + seglen
+            continue
+        out.append(blob[i])
+        i += 1
+    with pytest.raises(ValueError):
+        jpeg.decode(bytes(out))
+
+
+def test_corrupt_restart_marker_raises_valueerror():
+    img = _grad(32, 32)
+    blob = bytearray(jpeg.encode_progressive(img, restart_interval=2))
+    # corrupt the first RSTn marker byte (FF D0..D7 -> FF 3F)
+    for i in range(2, len(blob) - 1):
+        if blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7:
+            blob[i + 1] = 0x3F
+            break
+    with pytest.raises(ValueError):
+        jpeg.decode(bytes(blob))
