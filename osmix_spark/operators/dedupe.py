@@ -285,3 +285,64 @@ def dedupe_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             (F.col(id_col) == F.col("component")).alias("is_survivor"),
         )
     )
+
+
+def substring_dup_spans(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", window: int = 4,
+                        min_count: int = 2) -> DataFrame:
+    """Exact substring deduplication at token granularity (the
+    training-data op popularized by "Deduplicating Training Data Makes
+    Language Models Better": repeated spans get stripped before
+    training, not whole documents): every maximal token span whose
+    length-`window` windows each occur >= min_count times corpus-wide.
+
+    Plan shape — all equi-keyed, no cross join:
+      1. one posexplode of (doc, pos, window-hash);
+      2. one groupBy(hash) count (map-side combined);
+      3. one equi-join back on hash (AQE/skew-eligible: a boilerplate
+         window repeated millions of times is one hot hash key);
+      4. one per-doc gaps-and-islands window to merge overlapping
+         duplicated windows into maximal spans.
+    Windows ride as 60-bit portable hashes (8 shuffle bytes instead of
+    ~window*7 string bytes); the DuckDB oracle derives the identical
+    md5-based hash, so parity is exact, not probabilistic-modulo-oracle.
+
+    Returns (doc_id, span_start, span_end, n_windows): 0-based token
+    positions, end exclusive; touching/overlapping windows merge.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(F.col(id_col), text.tokens(F.col(text_col)).alias("toks"))
+    n = F.size(F.col("toks"))
+    # guard n < window explicitly: Spark's sequence(1, 0) yields the
+    # DESCENDING [1, 0], which would fabricate two garbage windows
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("toks"), i + j) for j in range(window)])
+    sh = (
+        toks.withColumn("w", F.transform(idx, shingle))
+        .select(id_col, F.posexplode(F.col("w")).alias("pos", "sh"))
+        .select(id_col, "pos", portable_hash64(F.col("sh"), "ssd").alias("h"))
+    )
+    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    dup = sh.join(counts.filter(F.col("n") >= min_count).select("h"), "h")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(F.col("prev").isNull()
+                   | (F.col("pos") - F.col("prev") > window), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

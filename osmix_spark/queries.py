@@ -1377,6 +1377,52 @@ def _clusters_sql() -> str:
     """
 
 
+_SSD_W = 4  # token window for the substring-dedupe query
+
+
+def _substring_dupes_sql(w: int = _SSD_W) -> str:
+    win = f"array_to_string(toks[u.pos:u.pos+{w - 1}], ' ')"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, u.pos - 1 AS pos,
+             {portable_hash64_sql(win, "ssd")} AS h
+      FROM t, UNNEST(generate_series(1, greatest(len(toks) - {w - 1}, 0)))
+               AS u(pos)
+    ),
+    c AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    d AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (h)),
+    i AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {w}
+                  THEN 1 ELSE 0 END AS brk
+      FROM d
+    ),
+    s AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM i)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + {w} AS span_end,
+           count(*) AS n_windows
+    FROM s GROUP BY doc_id, island
+    """
+
+
+@_q("text_substring_dupes", _substring_dupes_sql(), extra=True)
+def text_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedupe (Lee et al.-style span stripping): maximal
+    token spans whose length-W windows repeat corpus-wide
+    (operators/dedupe.substring_dup_spans — posexplode + hash-count +
+    equi-join + gaps-and-islands). Extra tier — pinned by
+    tests/test_oracle_extra.py."""
+    from .operators import dedupe as _dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    return _dedupe.substring_dup_spans(docs, window=_SSD_W)
+
+
 @_q("text_dedupe_clusters", _clusters_sql(), extra=True)
 def text_dedupe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over embedding near-dup

@@ -231,3 +231,33 @@ def test_minhash_rejects_overflow_prone_num_hashes(spark):
     sh = dedupe.shingle_set(docs)
     with pytest.raises(ValueError):
         dedupe.minhash_signatures(sh, num_hashes=16)
+
+
+def test_substring_dup_spans_golden(spark):
+    from osmix_spark.operators import dedupe
+
+    docs = spark.createDataFrame(
+        [
+            # the quick brown fox repeats in docs 1 and 2 (cross-doc dup);
+            # doc 3 has an internal repeat; doc 4 is all-unique; doc 5 is
+            # shorter than the window
+            (1, "the quick brown fox jumps over a lazy dog"),
+            (2, "intro words the quick brown fox ends here"),
+            (3, "x y z w q x y z w q"),
+            (4, "totally unique words only appear once here"),
+            (5, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in dedupe.substring_dup_spans(docs, window=4).collect()
+    }
+    # doc 1: tokens 0..3 = "the quick brown fox" -> span [0, 4), 1 window
+    # doc 2: tokens 2..5 same phrase -> span [2, 6), 1 window
+    assert rows[(1, 0, 4)] == 1
+    assert rows[(2, 2, 6)] == 1
+    # doc 3: "x y z w" at 0 and 5, "y z w q" at 1 and 6; windows at
+    # positions 0,1,5,6 merge (gap 5-1=4 == window) into one span [0, 10)
+    assert rows[(3, 0, 10)] == 4
+    assert not any(d == 4 or d == 5 for d, _, _ in rows)
