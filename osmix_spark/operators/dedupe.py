@@ -320,9 +320,12 @@ def substring_dup_spans(docs: DataFrame, id_col: str = "doc_id",
         .otherwise(F.array().cast("array<int>"))
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("toks"), i + j) for j in range(window)])
+    # one select, explode directly: a withColumn("w", ...) + select pair
+    # collapses into a projection that re-inlines tokens(text) once per
+    # element_at — the O(len^2) trap shingles_from_tokens documents
+    # (measured 31s -> 3.6s at sf0.1 for this operator)
     sh = (
-        toks.withColumn("w", F.transform(idx, shingle))
-        .select(id_col, F.posexplode(F.col("w")).alias("pos", "sh"))
+        toks.select(id_col, F.posexplode(F.transform(idx, shingle)).alias("pos", "sh"))
         .select(id_col, "pos", portable_hash64(F.col("sh"), "ssd").alias("h"))
     )
     counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
