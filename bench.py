@@ -52,6 +52,7 @@ SLOW_QUERIES = [
     "text_dedupe_clusters",
     "osm_to_geojson",
     "embed_ann_ivf",
+    "text_substring_dupes",
 ]
 
 FAST_QUERIES = [
