@@ -118,7 +118,10 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     regression). Callers project tokens into a column first.
     """
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # n < k must yield an EMPTY array: sequence(1, 0) is Spark's
+    # DESCENDING [1, 0], and element_at(toks, 0) then errors at runtime
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),

@@ -261,3 +261,17 @@ def test_substring_dup_spans_golden(spark):
     # positions 0,1,5,6 merge (gap 5-1=4 == window) into one span [0, 10)
     assert rows[(3, 0, 10)] == 4
     assert not any(d == 4 or d == 5 for d, _, _ in rows)
+
+
+def test_shingles_short_doc_yields_no_rows(spark):
+    # a doc with fewer tokens than the shingle width must contribute zero
+    # shingles — Spark's sequence(1, 0) is the DESCENDING [1, 0], which
+    # unguarded would hit element_at(toks, 0) and error
+    from osmix_spark.operators import dedupe
+
+    docs = spark.createDataFrame(
+        [(1, "just two"), (2, "a fine longer document here")],
+        ["doc_id", "text"],
+    )
+    rows = dedupe.shingle_set(docs, k=3).collect()
+    assert {r["doc_id"] for r in rows} == {2}
