@@ -273,23 +273,45 @@ def main() -> None:
 
     retries_left = MAX_RETRIES
     with tempfile.TemporaryDirectory(prefix="osmix_bench_") as tmpdir:
-        queue = list(pending)
-        while queue:
-            tag, names = queue.pop(0)
-            data = spawn_worker(names, sf_dir, cpus, tmpdir, tag,
-                                warmups=2 if names[0] in SLOW_QUERIES else 1)
-            if data is None:
-                # a crashed worker is a hard failure only if it never succeeds
-                if retries_left > 0:
+
+        def drain(queue: list[tuple[str, list[str]]]) -> None:
+            nonlocal retries_left
+            while queue:
+                tag, names = queue.pop(0)
+                data = spawn_worker(names, sf_dir, cpus, tmpdir, tag,
+                                    warmups=2 if names[0] in SLOW_QUERIES else 1)
+                if data is None:
+                    # a crashed worker is a hard failure only if it never succeeds
+                    if retries_left > 0:
+                        retries_left -= 1
+                        queue.append((tag + "r", names))
+                    continue
+                data["_tag"], data["_names"] = tag, names
+                data["_polluted"] = polluted(data)
+                workers.append(data)
+                if data["_polluted"] and retries_left > 0:
                     retries_left -= 1
                     queue.append((tag + "r", names))
-                continue
-            data["_tag"], data["_names"] = tag, names
-            data["_polluted"] = polluted(data)
-            workers.append(data)
-            if data["_polluted"] and retries_left > 0:
-                retries_left -= 1
-                queue.append((tag + "r", names))
+
+        drain(list(pending))
+
+        # spread-driven extra pass (once): a query whose CLEAN per-pass
+        # medians disagree by > 50% of the best one straddled a host-noise
+        # window some sentinel missed — give it one more fresh JVM so
+        # min-of-medians picks from 4 passes. Spready fast queries share
+        # one extra worker; each spready slow query gets its own.
+        def spready(name: str) -> bool:
+            meds = [w["results"][name]["median"] for w in workers
+                    if name in w["results"] and not w["_polluted"]]
+            return (len(meds) >= 2 and min(meds) > 0
+                    and max(meds) - min(meds) > 0.5 * min(meds))
+
+        spready_fast = [n for n in [FLAGSHIP] + FAST_QUERIES if spready(n)]
+        extra: list[tuple[str, list[str]]] = []
+        if spready_fast:
+            extra.append(("xspread_fast", spready_fast))
+        extra += [(f"xspread_{sq}", [sq]) for sq in SLOW_QUERIES if spready(sq)]
+        drain(extra)
     if not workers:
         print(json.dumps({"error": "every bench worker JVM crashed"}))
         sys.exit(1)
