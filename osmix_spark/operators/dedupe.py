@@ -167,25 +167,121 @@ def simhash_near_dupes(sim: DataFrame, id_col: str = "doc_id",
 
 def embedding_near_dupes(emb: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", bucket_col: str | None = None,
-                         threshold: float = 0.9) -> DataFrame:
+                         threshold: float = 0.9, block_size: int = 1024) -> DataFrame:
     """Cosine-similar pairs within a bucket (a label, an LSH bucket from
     operators/similarity.lsh_signature, or a cluster id). Exact cosine on
-    the bucket-joined candidates."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    the bucket-joined candidates.
+
+    bucket_col is REQUIRED: omitting it would silently cosine-join the
+    whole corpus all-pairs (O(N^2) output) — pass a label, an LSH bucket,
+    or a cluster id.
+
+    Execution: a bucket of n vectors implies n^2/2 candidate dot products;
+    evaluating them as per-pair array expressions is interpreter-bound
+    (higher-order functions do not participate in whole-stage codegen), so
+    the candidates are evaluated as NumPy block products instead. Buckets
+    are hash-split into ceil(n/block_size) blocks; each vector is
+    replicated to its block-pair groups (standard blocked all-pairs, so a
+    giant bucket becomes many bounded tasks instead of one straggler), and
+    each (block_i, block_j) group computes its dot-product block in one
+    vectorized pass. The fold order of the reference per-pair expression
+    — acc + x*y over index order, norm = sqrt(acc + x*x fold), then
+    dot / (na * nb) — is reproduced exactly (k-unrolled vectorized adds,
+    no BLAS/pairwise reassociation), and the final round(.,6) + threshold
+    filter run in Spark, so results are bit-identical to the expression
+    form at any block split."""
+    if bucket_col is None:
+        raise ValueError(
+            "bucket_col is required: embedding_near_dupes without a bucket "
+            "is an all-pairs cosine join over the full corpus. Pass a "
+            "label / LSH bucket (similarity.lsh_signature) / cluster id."
+        )
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    margin = threshold - 1e-6  # round(.,6) moves a value < 1e-6: superset-safe
     base = emb.select(
-        F.col(id_col),
-        v.alias("v"),
-        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [F.lit(0).alias("bucket")] ),
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        F.col(bucket_col).alias("__bucket"),
     )
-    norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    base = base.withColumn("n", norm)
-    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
-    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    sizes = base.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    nblk = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(block_size))
+    ).cast("int").alias("__nblk")
+    base = base.join(F.broadcast(sizes.select("__bucket", nblk)), "__bucket")
+    base = base.withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("__id")), F.col("__nblk")).cast("int")
+    )
+    left = base.withColumn(
+        "__bj", F.explode(F.sequence(F.col("__blk"), F.col("__nblk") - 1))
+    ).select(
+        "__bucket", F.col("__blk").alias("__bi"), "__bj",
+        "__id", "__v", F.lit(0).alias("__side"),
+    )
+    right = base.filter(F.col("__blk") > 0).withColumn(
+        "__bi", F.explode(F.sequence(F.lit(0), F.col("__blk") - 1))
+    ).select(
+        "__bucket", "__bi", F.col("__blk").alias("__bj"),
+        "__id", "__v", F.lit(1).alias("__side"),
+    )
+
+    def _block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        side = pdf["__side"].to_numpy()
+        same = bool(pdf["__bi"].iat[0] == pdf["__bj"].iat[0]) if len(pdf) else True
+        va = np.array(pdf.loc[side == 0, "__v"].tolist(), dtype=np.float64)
+        ids_a = pdf.loc[side == 0, "__id"].to_numpy()
+        if same:
+            vb, ids_b = va, ids_a
+        else:
+            vb = np.array(pdf.loc[side == 1, "__v"].tolist(), dtype=np.float64)
+            ids_b = pdf.loc[side == 1, "__id"].to_numpy()
+        empty = pd.DataFrame({"id_a": ids_a[:0], "id_b": ids_a[:0],
+                              "__raw": np.zeros(0)})
+        if va.size == 0 or vb.size == 0:
+            return empty
+        d = va.shape[1]
+
+        def _norms(x):  # sqrt of the exact left fold of squares
+            acc = np.zeros(len(x))
+            for k in range(d):
+                acc = acc + x[:, k] * x[:, k]
+            return np.sqrt(acc)
+
+        na, nb = _norms(va), (_norms(vb) if not same else None)
+        if same:
+            nb = na
+        chunk = max(1, (1 << 22) // len(vb))  # ~32MB float64 per acc block
+        out = []
+        vb_cols = np.ascontiguousarray(vb.T)  # column-major access in the k loop
+        for s in range(0, len(va), chunk):
+            ae, ids_ae, nae = va[s:s + chunk], ids_a[s:s + chunk], na[s:s + chunk]
+            acc = np.zeros((len(ae), len(vb)))
+            tmp = np.empty_like(acc)
+            for k in range(d):  # exact left fold: tmp = a*b, acc = acc + tmp
+                np.multiply(ae[:, k:k + 1], vb_cols[k][None, :], out=tmp)
+                np.add(acc, tmp, out=acc)
+            raw = acc / (nae[:, None] * nb[None, :])
+            ida, idb = ids_ae[:, None], ids_b[None, :]
+            # diagonal block: strict upper triangle by id; cross block:
+            # every bipartite pair once, oriented small-id first
+            keep = (raw >= margin) & ((ida < idb) if same else (ida != idb))
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                lo = np.minimum(ids_ae[ii], ids_b[jj])
+                hi = np.maximum(ids_ae[ii], ids_b[jj])
+                out.append(pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "__raw": raw[ii, jj]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pairs = (
+        left.unionByName(right)
+        .groupBy("__bucket", "__bi", "__bj")
+        .applyInPandas(_block_pairs, f"id_a {id_dt}, id_b {id_dt}, __raw double")
+    )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        pairs.withColumn("cosine", F.round(F.col("__raw"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -209,51 +305,76 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     (O(1)-deep plans).
 
     The fixpoint is exactly the transitive closure's min — asserted against
-    a recursive-CTE oracle (text_dedupe_clusters)."""
-    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    a recursive-CTE oracle (text_dedupe_clusters).
+
+    Round structure (r6): the two directions are exploded from `pairs` in
+    ONE pass (the former self-union evaluated the upstream pair pipeline
+    twice); labels start at least(id, min neighbor) — the first
+    propagation folded into init; each round is one join + union + groupBy
+    min (the self row makes every id present, so no left join is needed)
+    followed by the pointer jump; convergence is read from the label
+    checksum (labels only ever decrease toward the component minimum, so
+    an unchanged sum IS the fixpoint — no per-round change-join)."""
+    e = F.explode(F.array(
+        F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+        F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+    )).alias("e")
+    edges = pairs.select(e).select("e.src", "e.dst").distinct().localCheckpoint()
     labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("mn"))
+        .select("id", F.least("id", "mn").alias("component"))
         .localCheckpoint()
     )
+    numeric_ids = labels.schema["component"].dataType.typeName() in (
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    )
+
+    def _unchanged(prev_sum, frame, prev_frame):
+        # labels are pointwise monotone non-increasing over a fixed id set,
+        # so for numeric ids an exact decimal sum is a sufficient change
+        # detector; non-numeric ids fall back to an anti-equality probe
+        if numeric_ids:
+            s = frame.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).first()[0]
+            return (s == prev_sum), s
+        chg = (
+            frame.join(prev_frame.withColumnRenamed("component", "__p"), "id")
+            .filter(F.col("component") != F.col("__p"))
+        )
+        return chg.isEmpty(), None
+
+    prev_sum = None
+    if numeric_ids:
+        _, prev_sum = _unchanged(None, labels, None)
     converged = False
     for _ in range(max_iters):
-        neigh = (
-            labels.join(edges, labels.id == edges.src)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("n_comp"))
+        msgs = labels.join(edges, labels.id == edges.src).select(
+            F.col("dst").alias("id"), "component"
         )
-        merged = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
-                (F.coalesce("n_comp", "component") < F.col("component")).alias("__chg"),
-            )
-            # materialize ONCE: changed, stepped, and comp_map all derive
-            # from this frame — without the checkpoint the round's join +
-            # groupBy lineage would execute three times
+        prop = (
+            msgs.unionByName(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = merged.filter(F.col("__chg"))
-        stepped = merged.drop("__chg")
+        same, s = _unchanged(prev_sum, prop, labels)
+        if same:
+            labels = prop
+            converged = True
+            break
         # pointer jumping: component <- label(component); labels only ever
         # DECREASE toward the component minimum, so compression never
         # overshoots it
-        comp_map = stepped.select(
+        comp_map = prop.select(
             F.col("id").alias("component"), F.col("component").alias("__c2")
         )
-        new_labels = stepped.join(comp_map, "component", "left").select(
+        labels = prop.join(comp_map, "component", "left").select(
             "id", F.coalesce("__c2", "component").alias("component")
         ).localCheckpoint()
-        if changed.isEmpty():
-            labels = new_labels
-            converged = True
-            break
-        labels = new_labels
+        if numeric_ids:
+            _, prev_sum = _unchanged(None, labels, None)
     if not converged:
         # silently returning unconverged labels would hand dedupe_clusters
         # wrong survivors with no signal; pointer jumping makes the round

@@ -86,9 +86,37 @@ def test_embedding_near_dupes_finds_self_plant(spark, sf_dir):
     plant = emb.limit(1).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
     )
-    out = dedupe.embedding_near_dupes(emb.unionByName(plant), threshold=0.999)
+    out = dedupe.embedding_near_dupes(
+        emb.unionByName(plant), bucket_col="label", threshold=0.999
+    )
     hits = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (0, 1_000_000) in hits
+
+
+def test_embedding_near_dupes_requires_bucket(spark, sf_dir):
+    """Omitting bucket_col used to silently cosine-join the whole corpus
+    all-pairs (O(N^2) in disguise); it must raise instead (VERDICT r5)."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    with pytest.raises(ValueError, match="bucket_col is required"):
+        dedupe.embedding_near_dupes(emb, threshold=0.999)
+
+
+def test_embedding_near_dupes_block_split_invariant(spark, sf_dir):
+    """Pair output must be identical at any block split (the blocked
+    all-pairs decomposition cannot change which pairs exist or their
+    cosines — bit-exact fold-order emulation)."""
+    emb = _emb(spark, sf_dir)
+    whole = dedupe.embedding_near_dupes(
+        emb, bucket_col="label", threshold=0.25, block_size=1 << 20
+    )
+    split = dedupe.embedding_near_dupes(
+        emb, bucket_col="label", threshold=0.25, block_size=16
+    )
+    w = {(r["id_a"], r["id_b"], r["cosine"]) for r in whole.collect()}
+    s = {(r["id_a"], r["id_b"], r["cosine"]) for r in split.collect()}
+    assert w == s and len(w) > 0
 
 
 def test_ivf_recall_and_determinism(spark, sf_dir):
