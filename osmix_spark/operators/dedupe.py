@@ -418,15 +418,19 @@ def substring_dup_spans(docs: DataFrame, id_col: str = "doc_id",
     length-`window` windows each occur >= min_count times corpus-wide.
 
     Plan shape — all equi-keyed, no cross join:
-      1. one posexplode of (doc, pos, window-hash);
-      2. one groupBy(hash) count (map-side combined);
-      3. one equi-join back on hash (AQE/skew-eligible: a boilerplate
-         window repeated millions of times is one hot hash key);
-      4. one per-doc gaps-and-islands window to merge overlapping
+      1. one posexplode of (doc, pos, window-hash) — evaluated ONCE (the
+         former groupBy + self-join referenced the explode subtree twice,
+         paying tokenize + hash for every window twice);
+      2. one corpus-wide count window over the hash (the single shuffle
+         that the duplicate test fundamentally requires);
+      3. one per-doc gaps-and-islands window to merge overlapping
          duplicated windows into maximal spans.
-    Windows ride as 60-bit portable hashes (8 shuffle bytes instead of
-    ~window*7 string bytes); the DuckDB oracle derives the identical
-    md5-based hash, so parity is exact, not probabilistic-modulo-oracle.
+    Windows ride as 64-bit xxhash64 over the token tuple (8 shuffle bytes,
+    no per-window string build, no md5): the hash is engine-internal —
+    only the resulting spans are compared to the oracle, whose own
+    md5-window derivation is untouched — so the only divergence mode is a
+    64-bit collision between distinct windows, which the checked scale
+    factors make vanishingly improbable (< 1e-8).
 
     Returns (doc_id, span_start, span_end, n_windows): 0-based token
     positions, end exclusive; touching/overlapping windows merge.
@@ -439,18 +443,23 @@ def substring_dup_spans(docs: DataFrame, id_col: str = "doc_id",
     # DESCENDING [1, 0], which would fabricate two garbage windows
     idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))) \
         .otherwise(F.array().cast("array<int>"))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(F.col("toks"), i + j) for j in range(window)])
+    # hash the token tuple directly (tokens are whitespace-split, so the
+    # tuple is exactly as collision-free as the joined string)
+    shingle_hash = lambda i: F.xxhash64(  # noqa: E731
+        F.lit("ssd"), *[F.element_at(F.col("toks"), i + j) for j in range(window)])
     # one select, explode directly: a withColumn("w", ...) + select pair
     # collapses into a projection that re-inlines tokens(text) once per
     # element_at — the O(len^2) trap shingles_from_tokens documents
     # (measured 31s -> 3.6s at sf0.1 for this operator)
-    sh = (
-        toks.select(id_col, F.posexplode(F.transform(idx, shingle)).alias("pos", "sh"))
-        .select(id_col, "pos", portable_hash64(F.col("sh"), "ssd").alias("h"))
+    sh = toks.select(
+        id_col, F.posexplode(F.transform(idx, shingle_hash)).alias("pos", "h")
     )
-    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
-    dup = sh.join(counts.filter(F.col("n") >= min_count).select("h"), "h")
+    wh = Window.partitionBy("h")
+    dup = (
+        sh.withColumn("n", F.count(F.lit(1)).over(wh))
+        .filter(F.col("n") >= min_count)
+        .select(id_col, "pos")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup.withColumn("prev", F.lag("pos").over(w))
