@@ -64,25 +64,74 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _capped_band_pairs(bands_df: DataFrame, id_col: str, max_bucket: int,
+                       on_oversized, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Shared band-bucket pair expansion with the giant-bucket cap.
+
+    bands_df: (id, band, bh, __sig[, extra...]). Buckets with more than
+    max_bucket members are NOT pairwise expanded — a boilerplate flood of
+    N near-identical docs in one band hash would emit N^2/2 pairs, an
+    output-cardinality blowup no AQE skew split can reduce. Oversized
+    buckets are routed through exact-fingerprint grouping instead: members
+    sharing the full signature (__sig) are linked as a star to the group's
+    min id (O(N) pairs, connectivity preserved for clustering); members
+    whose exact signatures differ are dropped and accounted to the
+    on_oversized side channel as (band, bh, n_docs) rows — persist them
+    via plans/lineage.checkpoint when auditability is required."""
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band", "bh")
+    sized = bands_df.withColumn("__n", F.count(F.lit(1)).over(wb))
+    small = sized.filter(F.col("__n") <= max_bucket)
+    over = sized.filter(F.col("__n") > max_bucket)
+    if on_oversized is not None:
+        on_oversized(
+            over.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+    a = small.select(F.col(id_col).alias("id_a"), "band", "bh",
+                     *[F.col(c).alias(f"{c}_a") for c in extra_cols])
+    b_ = small.select(F.col(id_col).alias("id_b"), "band", "bh",
+                      *[F.col(c).alias(f"{c}_b") for c in extra_cols])
+    pairs = a.join(b_, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
+    reps = over.groupBy("band", "bh", "__sig").agg(F.min(id_col).alias("__rep"))
+    star = (
+        over.join(reps, ["band", "bh", "__sig"])
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"),
+                *[F.col(c).alias(f"{c}_a") for c in extra_cols])
+    )
+    if extra_cols:  # star pairs share the exact signature: a == b
+        for c in extra_cols:
+            star = star.withColumn(f"{c}_b", F.col(f"{c}_a"))
+    return pairs.select(star.columns).unionByName(star)
+
+
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 8, bands: int = 4) -> DataFrame:
+                        num_hashes: int = 8, bands: int = 4,
+                        max_bucket: int = 65536,
+                        on_oversized=None) -> DataFrame:
     """Banding: docs sharing any band hash become a candidate pair.
-    rows_per_band = num_hashes // bands."""
+    rows_per_band = num_hashes // bands.
+
+    Buckets larger than max_bucket fall back to exact-signature star
+    linking (see _capped_band_pairs) — the N^2 flood guard."""
     rpb = num_hashes // bands
+    sig_cols = [f"h{i}" for i in range(num_hashes)]
     parts = []
     for b in range(bands):
         bh = F.lit(0).cast("long")
         for r in range(rpb):
             bh = (bh * 1000003 + F.col(f"h{b * rpb + r}") % _MOD) % _MOD
-        parts.append(sig.select(F.col(id_col), F.lit(b).alias("band"), bh.alias("bh")))
+        parts.append(sig.select(
+            F.col(id_col), F.lit(b).alias("band"), bh.alias("bh"),
+            F.xxhash64(*sig_cols).alias("__sig"),
+        ))
     bands_df = parts[0]
     for p in parts[1:]:
         bands_df = bands_df.unionByName(p)
-    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b_ = bands_df.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (
-        a.join(b_, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _capped_band_pairs(bands_df, id_col, max_bucket, on_oversized)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -141,24 +190,30 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_near_dupes(sim: DataFrame, id_col: str = "doc_id",
                        bits: int = 16, bands: int = 4,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket: int = 65536,
+                       on_oversized=None) -> DataFrame:
     """Candidate pairs by banded simhash (hamming <= bands-1 guaranteed to
-    share a band); verified with exact popcount hamming distance."""
+    share a band); verified with exact popcount hamming distance.
+
+    Buckets larger than max_bucket fall back to exact-simhash star linking
+    (hamming 0 by construction — see _capped_band_pairs)."""
     bw = bits // bands
     mask = (1 << bw) - 1
     parts = []
     for b in range(bands):
         band_val = F.shiftrightunsigned(F.col("simhash"), b * bw).bitwiseAND(F.lit(mask))
-        parts.append(sim.select(F.col(id_col), F.col("simhash"), F.lit(b).alias("band"), band_val.alias("bv")))
+        parts.append(sim.select(
+            F.col(id_col), F.lit(b).alias("band"), band_val.alias("bh"),
+            F.col("simhash").alias("__sig"),
+        ))
     bands_df = parts[0]
     for p in parts[1:]:
         bands_df = bands_df.unionByName(p)
-    a = bands_df.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bv")
-    b_ = bands_df.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bv")
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
     return (
-        a.join(b_, ["band", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _capped_band_pairs(bands_df, id_col, max_bucket, on_oversized,
+                           extra_cols=("__sig",))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

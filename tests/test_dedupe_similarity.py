@@ -81,6 +81,40 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.7, f"ANN recall too low: {recall}"
 
 
+def test_giant_bucket_cap_bounds_flood(spark):
+    """SCALE.md's flood guard: a boilerplate flood of N docs landing in one
+    LSH band bucket must NOT emit N^2/2 pairs. Above max_bucket the bucket
+    falls back to exact-signature star linking (O(N) pairs, connectivity
+    kept for clustering) and the drop is reported on the side channel."""
+    from pyspark.sql import Row
+
+    n = 1000
+    # identical signatures -> every band bucket holds all N docs
+    sig = spark.createDataFrame(
+        [Row(doc_id=i, **{f"h{k}": 7 + (k * 11) for k in range(8)})
+         for i in range(n)]
+    )
+    seen = {}
+    pairs = dedupe.lsh_candidate_pairs(
+        sig, max_bucket=100, on_oversized=lambda df: seen.update(
+            {(r["band"], r["bh"]): r["n_docs"] for r in df.collect()})
+    ).collect()
+    # star linking: doc 0 <-> each other doc, once after distinct
+    assert len(pairs) == n - 1
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, i) for i in range(1, n)}
+    assert len(seen) == 4 and set(seen.values()) == {n}  # all 4 bands logged
+
+    # sub-cap buckets keep exhaustive pairing: same graph, higher cap
+    small = dedupe.lsh_candidate_pairs(sig.limit(5), max_bucket=100).collect()
+    assert len(small) == 10  # C(5,2)
+
+    # simhash flood: identical fingerprints -> star pairs at hamming 0
+    sim = spark.createDataFrame([Row(doc_id=i, simhash=1234) for i in range(n)])
+    spairs = dedupe.simhash_near_dupes(sim, max_bucket=100).collect()
+    assert len(spairs) == n - 1
+    assert all(r["hamming"] == 0 for r in spairs)
+
+
 def test_embedding_near_dupes_finds_self_plant(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     plant = emb.limit(1).select(
