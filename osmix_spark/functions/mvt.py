@@ -319,9 +319,11 @@ def _varints_np(vals, nb=None, offs=None) -> "bytes":
         nb = _varint_nbytes_np(v)
     if offs is None:
         offs = np.zeros(v.shape, dtype=np.int64)
-        np.cumsum(nb[:-1], out=offs[1:])
+        np.cumsum(nb[:-1].astype(np.int64), out=offs[1:])
     out = np.empty(int(offs[-1] + nb[-1]), dtype=np.uint8)
-    for L in np.unique(nb):
+    # bincount beats np.unique here (no 10M-element sort)
+    present = np.nonzero(np.bincount(nb, minlength=11))[0]
+    for L in present[present > 0]:
         sel = nb == L
         vv = v[sel]
         dst = offs[sel]
@@ -340,7 +342,12 @@ def _varint_nbytes_np(vals):
 
     v = np.asarray(vals, dtype=np.uint64)
     nb = np.ones(v.shape, dtype=np.int8)
+    if v.size == 0:
+        return nb
+    mx = int(v.max())  # tile streams are mostly 1-2 byte deltas: stop early
     for k in range(1, 10):
+        if mx < (1 << (7 * k)):
+            break
         nb += v >= np.uint64(1 << (7 * k))
     return nb
 
@@ -446,7 +453,9 @@ def encode_line_frames_np(ids, xs, ys, lens,
     nb = _varint_nbytes_np(V)
     cs = np.empty(M + 1, dtype=np.int64)
     cs[0] = 0
-    np.cumsum(nb, out=cs[1:])
+    # int8 -> int64 out makes cumsum take a slow buffered-cast path; an
+    # explicit widening copy first is ~4x faster at this volume
+    np.cumsum(nb.astype(np.int64), out=cs[1:])
     end = ioff + iw
     glen = cs[end] - cs[cg]
     V[ioff + 7] = glen.astype(np.uint64)
@@ -457,7 +466,7 @@ def encode_line_frames_np(ids, xs, ys, lens,
     nb1 = _varint_nbytes_np(V[ioff + 1])
     nb[ioff + 7] = nb7
     nb[ioff + 1] = nb1
-    np.cumsum(nb, out=cs[1:])
+    np.cumsum(nb.astype(np.int64), out=cs[1:])
     out = _varints_np(V, nb=nb, offs=cs[:-1])
     if return_lens:
         return out, cs[end] - cs[ioff]

@@ -318,7 +318,16 @@ def encode_way_mvt_vertices(verts: DataFrame, z: int, layer: str = "ways",
         geo.tile_y_fraction(F.col("lat"), zc).alias("yf"),
     )
     par = verts.sparkSession.sparkContext.defaultParallelism
-    dist = proj.repartition(par, F.expr(f"way_id div {id_block}"))
+    # vertex order (way_id, s1, s2) is established by the JVM sort so the
+    # Python stage needs neither the lexsort nor the s1/s2 columns at all
+    # — 2 of 5 Arrow columns never cross the boundary. Ties in the sort
+    # key carry identical coordinates (s2 IS the node ref), so an unstable
+    # sort cannot change the encoded bytes.
+    dist = (
+        proj.repartition(par, F.expr(f"way_id div {id_block}"))
+        .sortWithinPartitions("way_id", "s1", "s2")
+        .select("way_id", "xf", "yf")
+    )
 
     def encode_verts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -326,7 +335,8 @@ def encode_way_mvt_vertices(verts: DataFrame, z: int, layer: str = "ways",
         def rhu(v):
             # round half away from zero == Spark F.round(double); the +0.5
             # add is IEEE-exact for |v| < 2^52 so the two agree bit-for-bit
-            return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+            # (copysign(floor(|v|+0.5), v) is the branch-free identity)
+            return np.copysign(np.floor(np.fabs(v) + 0.5), v)
 
         pdfs = [p for p in batches]
         if not pdfs:
@@ -334,13 +344,10 @@ def encode_way_mvt_vertices(verts: DataFrame, z: int, layer: str = "ways",
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         if not len(pdf):
             return
+        # rows arrive sorted by (way_id, s1, s2) — the JVM sort upstream
         wid = pdf["way_id"].to_numpy(dtype=np.int64)
-        s1 = pdf["s1"].to_numpy()
-        s2 = pdf["s2"].to_numpy()
         xf = pdf["xf"].to_numpy(dtype=np.float64)
         yf = pdf["yf"].to_numpy(dtype=np.float64)
-        order = np.lexsort((s2, s1, wid))
-        wid, xf, yf = wid[order], xf[order], yf[order]
         nv = len(wid)
         neww = np.ones(nv, dtype=bool)
         neww[1:] = wid[1:] != wid[:-1]
