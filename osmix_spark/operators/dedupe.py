@@ -169,11 +169,22 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens: per bit, sum of +/-1 weighted by the
     token's portable hash bit; sign -> fingerprint bit. One explode + one
-    groupBy with `bits` conditional sums."""
-    toks = (
-        docs.select(F.col(id_col), F.explode(text.tokens(F.col(text_col))).alias("tok"))
-        .withColumn("h", portable_hash64(F.col("tok"), "simhash"))
+    groupBy with `bits` conditional sums.
+
+    The portable hash (md5 + hex->long conv — the parity-bearing, and
+    priciest, expression) is evaluated once per DISTINCT token and joined
+    back to the token stream, not once per token instance: natural text
+    is Zipf-distributed, so the vocabulary is a small fraction of the
+    instance count and shrinks relatively as the corpus grows. The join
+    is left unhinted — AQE broadcasts the vocabulary while it is small
+    and falls back to a shuffle join when it is not."""
+    toks = docs.select(
+        F.col(id_col), F.explode(text.tokens(F.col(text_col))).alias("tok")
     )
+    vocab = toks.select("tok").distinct().withColumn(
+        "h", portable_hash64(F.col("tok"), "simhash")
+    )
+    toks = toks.join(vocab, "tok")
     sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
