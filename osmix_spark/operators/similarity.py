@@ -32,6 +32,60 @@ def _dot(a, b) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+@F.pandas_udf(T.DoubleType())
+def _fold_dot(a, b):  # type: ignore[no-untyped-def]
+    """Vectorized pairwise dot with the EXACT fold order of `_dot`
+    (acc + x*y over index order, no BLAS/pairwise reassociation) — the
+    higher-order-function form does not participate in whole-stage codegen
+    and is interpreter-bound per element, which dominates every
+    candidate-refine stage; this is bit-identical and batch-vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(a):
+        return pd.Series(np.zeros(0))
+    A = np.array(a.tolist(), dtype=np.float64)
+    B = np.array(b.tolist(), dtype=np.float64)
+    acc = np.zeros(len(A))
+    tmp = np.empty_like(acc)
+    for k in range(A.shape[1]):
+        np.multiply(A[:, k], B[:, k], out=tmp)
+        np.add(acc, tmp, out=acc)
+    return pd.Series(acc)
+
+
+def _argmin_centroid_udf(cent_ids, cent_mat):
+    """pandas UDF assigning each vector to its nearest centroid by squared
+    L2, centroids captured in the closure (KB-scale — the bounded collect
+    replaces a crossJoin + min_by shuffle of every corpus VECTOR).
+    Bit-exact twin of the expression form: d2 = left fold of (x-y)^2 in
+    index order; ties to the smaller centroid id (cent_ids ascending,
+    argmin returns the first minimum)."""
+    import numpy as np
+
+    ids = np.asarray(cent_ids, dtype=np.int64)
+    C = np.asarray(cent_mat, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(v):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if not len(v):
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        X = np.array(v.tolist(), dtype=np.float64)
+        d2 = np.zeros((len(X), len(C)))
+        tmp = np.empty(len(X))
+        for j in range(len(C)):
+            acc = d2[:, j]
+            for k in range(X.shape[1]):
+                np.subtract(X[:, k], C[j, k], out=tmp)
+                np.multiply(tmp, tmp, out=tmp)
+                np.add(acc, tmp, out=acc)
+        return pd.Series(ids[np.argmin(d2, axis=1)].astype(np.int32))
+
+    return assign
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
                      q_id: str = "query_id", c_id: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -44,7 +98,7 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     return (
         F.broadcast(q)
         .join(c, F.col(q_id) != F.col(c_id))
-        .withColumn("sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("sim", _fold_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, F.round("sim", 6).alias("sim"), "rank")
@@ -126,6 +180,8 @@ def ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
         q.join(c, ["table", "bucket"])
         .filter(F.col(q_id) != F.col(c_id))
         .dropDuplicates([q_id, c_id])
+        # post-dedup candidate counts are small enough here that the HOF
+        # expression beats shipping both vectors through Arrow (measured)
         .withColumn("sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -169,21 +225,15 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
     vecs = corpus.select(F.col(c_id), _as_double(F.col(vec_col)).alias("v"))
     cents = seeds
     for _ in range(lloyd_iters):
-        # assign: nearest centroid by squared L2 (min_by over broadcast dim)
-        d2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda a, x: a + x,
+        # assign: nearest centroid by squared L2 via the closure-captured
+        # centroid matrix (KB-scale bounded collect) — one narrow pass over
+        # the corpus; the former crossJoin + min_by shape duplicated every
+        # vector n_centroids times and shuffled the vectors to re-group
+        rows = cents.orderBy("centroid_id").collect()
+        assign = _argmin_centroid_udf(
+            [r["centroid_id"] for r in rows], [r["centroid"] for r in rows]
         )
-        # min_by keyed on the id: vectors ride as aggregate VALUES, never as
-        # grouping keys (a full-vector grouping key would shuffle the whole
-        # embedding column as key bytes)
-        assigned = (
-            vecs.crossJoin(F.broadcast(cents))
-            .withColumn("d2", d2)
-            .groupBy(c_id)
-            .agg(F.min_by(F.struct("centroid_id", "v"), F.struct("d2", "centroid_id")).alias("b"))
-            .select(F.col("b.centroid_id").alias("centroid_id"), F.col("b.v").alias("v"))
-        )
+        assigned = vecs.select(assign(F.col("v")).alias("centroid_id"), "v")
         # update: per-(centroid, dim) mean, re-assembled into arrays
         cents = (
             assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
@@ -247,19 +297,16 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, c_id: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Bucket each corpus vector under its nearest centroid — the inverted
     file. At 100 TB this DataFrame is written partitioned/bucketed by
-    centroid_id so a probe reads only its lists."""
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda a, x: a + x,
+    centroid_id so a probe reads only its lists. The quantizer is
+    KB-scale, so it rides into a closure-captured argmin UDF (bounded
+    collect) instead of a crossJoin + min_by re-grouping of the vectors."""
+    rows = centroids.orderBy("centroid_id").collect()
+    assign = _argmin_centroid_udf(
+        [r["centroid_id"] for r in rows], [r["centroid"] for r in rows]
     )
-    return (
-        corpus.select(F.col(c_id), _as_double(F.col(vec_col)).alias("v"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("d2", d2)
-        .groupBy(c_id)
-        .agg(F.min_by(F.struct("centroid_id", "v"), F.struct("d2", "centroid_id")).alias("b"))
-        .select(c_id, F.col("b.centroid_id").alias("centroid_id"), F.col("b.v").alias("v"))
-    )
+    return corpus.select(
+        F.col(c_id), _as_double(F.col(vec_col)).alias("v")
+    ).select(c_id, assign(F.col("v")).alias("centroid_id"), "v")
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -295,7 +342,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     return (
         probes.join(inv, "centroid_id")
         .filter(F.col(q_id) != F.col(c_id))
-        .withColumn("sim", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("cn")))
+        .withColumn("sim", _fold_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("cn")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, F.round("sim", 6).alias("sim"), "rank")

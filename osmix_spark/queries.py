@@ -1226,8 +1226,12 @@ _COS_SQL = """
 )
 def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (k=3) for 8 query vectors: the exact-ANN
-    baseline. Dot products as JVM-side zip_with/aggregate (no Python);
-    queries broadcast; top-k per query via window."""
+    baseline. Queries broadcast; the candidate dot products run through
+    the bit-exact vectorized fold kernel (similarity._fold_dot — the
+    expression form is interpreter-bound per element); top-k per query
+    via window."""
+    from .operators.similarity import _fold_dot
+
     emb = _t(spark, sf_dir, "embeddings")
 
     def as_double(col):
@@ -1237,16 +1241,13 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
     )
     p = emb.select(F.col("vec_id"), as_double(F.col("embedding")).alias("pv"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("pv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
     norm_q = F.sqrt(F.aggregate(F.transform(F.col("qv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     norm_p = F.sqrt(F.aggregate(F.transform(F.col("pv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
     return (
-        F.broadcast(q)
-        .join(p, F.col("query_id") != F.col("vec_id"))
-        .withColumn("sim_raw", dot / (norm_q * norm_p))
+        F.broadcast(q.withColumn("qn", norm_q))
+        .join(p.withColumn("pn", norm_p), F.col("query_id") != F.col("vec_id"))
+        .withColumn("sim_raw", _fold_dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
