@@ -126,17 +126,33 @@ def _build_codes(bits, vals):
     return codes
 
 
+_DECODE_MAP_CACHE: dict = {}
+
+
 def _build_decode_map(bits, vals):
-    """(BITS, HUFFVAL) -> {(length, code): symbol}."""
+    """(BITS, HUFFVAL) -> {(length, code): symbol}, plus a 16-bit-prefix
+    LUT under the "__lut" key: lut[peek16] = (symbol << 5) | code_length,
+    -1 for invalid prefixes — one array index replaces the bit-by-bit
+    dict walk per symbol. Cached per (bits, vals) so repeated decodes of
+    streams sharing tables (every standard-table JPEG) skip the build."""
+    key = (tuple(bits), tuple(vals))
+    hit = _DECODE_MAP_CACHE.get(key)
+    if hit is not None:
+        return hit
     out = {}
+    lut = np.full(1 << 16, -1, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             out[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (vals[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
+    out["__lut"] = lut.tolist()  # plain list: ~10x faster scalar indexing
+    _DECODE_MAP_CACHE[key] = out
     return out
 
 
@@ -248,9 +264,24 @@ def _prep_blocks(img: np.ndarray, quality: int, subsample: str):
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
         qids = [0, 1, 1]
 
+    # ONE forward-DCT einsum over every block of every plane (per-plane
+    # einsum overhead dominates on small images), then per-plane quantize
+    split = []
+    blocks = []
+    for p in planes:
+        ph, pw = p.shape
+        b = p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        split.append(len(b))
+        blocks.append(b)
+    allb = np.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+    coef = np.einsum("ux,nxy,vy->nuv", _M, allb, _M)
     qblocks = []
-    for p, qid in zip(planes, qids):
-        qblocks.append(_fdct_quant(p, qly if qid == 0 else qlc))
+    o = 0
+    for n, qid in zip(split, qids):
+        qt = qly if qid == 0 else qlc
+        q = np.round(coef[o : o + n] / qt.reshape(8, 8)).astype(np.int64)
+        qblocks.append(q.reshape(-1, 64)[:, ZIGZAG])
+        o += n
     return gray, h, w, qly, qlc, samp, qids, qblocks
 
 
@@ -288,22 +319,24 @@ def encode_baseline(img: np.ndarray, quality: int = 75, subsample: str = "444") 
                         bw.write(code, ln)
                         if size:
                             bw.write(bits, size)
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(blk[k])
-                            if v == 0:
-                                run += 1
-                                continue
+                        # iterate only the nonzero AC positions (one numpy
+                        # call replaces the 63-step Python scan per block —
+                        # the dominant per-block cost on sparse blocks)
+                        prev = 0
+                        for k in np.nonzero(blk[1:])[0]:
+                            k = int(k) + 1
+                            run = k - prev - 1
                             while run >= 16:
                                 code, ln = ac_codes[tid][0xF0]  # ZRL
                                 bw.write(code, ln)
                                 run -= 16
+                            v = int(blk[k])
                             size, bits = _magnitude(v)
                             code, ln = ac_codes[tid][(run << 4) | size]
                             bw.write(code, ln)
                             bw.write(bits, size)
-                            run = 0
-                        if run:
+                            prev = k
+                        if prev != 63:
                             code, ln = ac_codes[tid][0x00]  # EOB
                             bw.write(code, ln)
     scan = bw.flush()
@@ -344,13 +377,22 @@ def encode_baseline(img: np.ndarray, quality: int = 75, subsample: str = "444") 
 
 
 class _BitReader:
-    """Entropy-coded segment reader with 0xFF00 unstuffing and RST skip."""
+    """Entropy-coded segment reader with 0xFF00 unstuffing and RST skip.
+
+    Reads are buffered 16 bits ahead so Huffman symbols resolve with one
+    LUT index (see _build_decode_map). Lookahead that runs into the end
+    of the segment (or a restart marker) pads virtually with 1-bits and
+    DEFERS the underlying exception: it is re-raised only if decoding
+    actually consumes into the padding, so the truncation / stray-marker
+    error contract is byte-identical to the unbuffered reader."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.pad = 0
+        self._deferred: Exception | None = None
 
     def _fill(self) -> None:
         if self.pos >= len(self.data):
@@ -371,22 +413,49 @@ class _BitReader:
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
+    def _prefill16(self) -> None:
+        while self.nbits < 16:
+            if self._deferred is None:
+                try:
+                    self._fill()
+                    continue
+                except (_RestartMarker, ValueError) as e:
+                    self._deferred = e
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+            self.pad += 8
+
+    def _consume(self, n: int) -> None:
+        self.nbits -= n
+        if self.nbits < self.pad:
+            raise self._deferred  # consumed virtual padding: real error
+        self.acc &= (1 << self.nbits) - 1
+
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        if self.nbits < self.pad:
+            raise self._deferred
+        v = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return v
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._prefill16()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self._consume(n)
         return v
 
     def sync_restart(self) -> None:
         """Consume an RSTn marker at a byte boundary."""
         self.acc = 0
         self.nbits = 0
+        self.pad = 0
+        self._deferred = None
         if not (self.data[self.pos] == 0xFF
                 and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
             raise ValueError("expected RSTn marker at restart boundary")
@@ -398,13 +467,22 @@ class _RestartMarker(Exception):
 
 
 def _decode_huff(br: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+    lut = table.get("__lut")
+    if lut is None:  # tables built outside _build_decode_map: bit walk
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+    if br.nbits < 16:
+        br._prefill16()
+    e = lut[(br.acc >> (br.nbits - 16)) & 0xFFFF]
+    if e < 0:
+        raise ValueError("invalid Huffman code")
+    br._consume(e & 31)
+    return e >> 5
 
 
 def _extend(v: int, size: int) -> int:
@@ -561,11 +639,13 @@ def _decode_scan(data, pos, w, h, comps, qts, huff, restart_interval):
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        pw = mcux * 8 * c["h"]
-        ph = mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    # entropy-decode into per-component (nblocks, 64) zigzag coefficient
+    # matrices; dequant + IDCT run ONCE per component over all blocks below
+    # (per-block einsum/alloc used to dominate decode on sparse blocks)
+    nbx = [mcux * c["h"] for c in comps]
+    nby = [mcuy * c["v"] for c in comps]
+    coefs = [np.zeros((nby[ci] * nbx[ci], 64), dtype=np.int64)
+             for ci in range(len(comps))]
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_count = 0
@@ -577,10 +657,10 @@ def _decode_scan(data, pos, w, h, comps, qts, huff, restart_interval):
             for ci, c in enumerate(comps):
                 dct = huff[(0, c["dc"])]
                 act = huff[(1, c["ac"])]
-                qt = qts[c["tq"]].reshape(8, 8)
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int64)
+                        coef = coefs[ci][(my * c["v"] + by) * nbx[ci]
+                                         + mx * c["h"] + bx]
                         size = _decode_huff(br, dct)
                         diff = _extend(br.read_bits(size), size) if size else 0
                         pred[ci] += diff
@@ -597,15 +677,29 @@ def _decode_scan(data, pos, w, h, comps, qts, huff, restart_interval):
                             k += r
                             coef[k] = _extend(br.read_bits(s), s)
                             k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[ZIGZAG] = coef * qt.reshape(64)[ZIGZAG]
-                        spatial = np.einsum(
-                            "ux,uv,vy->xy", _M, blk.reshape(8, 8), _M
-                        ) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
+    # ONE dequant + IDCT einsum over every block of every component (the
+    # per-block, then per-component, einsum overhead dominated decode of
+    # small images)
+    nb_tot = sum(len(cf) for cf in coefs)
+    blk = np.zeros((nb_tot, 64), dtype=np.float64)
+    o = 0
+    for ci, c in enumerate(comps):
+        qt64 = qts[c["tq"]]
+        blk[o : o + len(coefs[ci]), ZIGZAG] = coefs[ci] * qt64[ZIGZAG][None, :]
+        o += len(coefs[ci])
+    spatial = np.einsum("ux,nuv,vy->nxy", _M, blk.reshape(-1, 8, 8), _M) + 128.0
+    planes = []
+    o = 0
+    for ci in range(len(comps)):
+        n = len(coefs[ci])
+        planes.append(
+            spatial[o : o + n]
+            .reshape(nby[ci], nbx[ci], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby[ci] * 8, nbx[ci] * 8)
+        )
+        o += n
     # upsample to full resolution and crop
     full = []
     for c, p in zip(comps, planes):
