@@ -81,7 +81,12 @@ def _capped_band_pairs(bands_df: DataFrame, id_col: str, max_bucket: int,
     from pyspark.sql.window import Window
 
     wb = Window.partitionBy("band", "bh")
-    sized = bands_df.withColumn("__n", F.count(F.lit(1)).over(wb))
+    # materialize once: the counted band table feeds BOTH self-join sides
+    # plus the oversized star path — without the checkpoint each reference
+    # re-evaluates the signature pipeline upstream
+    sized = bands_df.withColumn(
+        "__n", F.count(F.lit(1)).over(wb)
+    ).localCheckpoint()
     small = sized.filter(F.col("__n") <= max_bucket)
     over = sized.filter(F.col("__n") > max_bucket)
     if on_oversized is not None:
@@ -118,18 +123,18 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     linking (see _capped_band_pairs) — the N^2 flood guard."""
     rpb = num_hashes // bands
     sig_cols = [f"h{i}" for i in range(num_hashes)]
-    parts = []
+    structs = []
     for b in range(bands):
         bh = F.lit(0).cast("long")
         for r in range(rpb):
             bh = (bh * 1000003 + F.col(f"h{b * rpb + r}") % _MOD) % _MOD
-        parts.append(sig.select(
-            F.col(id_col), F.lit(b).alias("band"), bh.alias("bh"),
-            F.xxhash64(*sig_cols).alias("__sig"),
-        ))
-    bands_df = parts[0]
-    for p in parts[1:]:
-        bands_df = bands_df.unionByName(p)
+        structs.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    # one posexplode, not a union of per-band selects: a union re-evaluates
+    # the signature pipeline once per band branch
+    bands_df = sig.select(
+        F.col(id_col), F.xxhash64(*sig_cols).alias("__sig"),
+        F.posexplode(F.array(*structs)).alias("__p", "e"),
+    ).select(id_col, "e.band", "e.bh", "__sig")
     return (
         _capped_band_pairs(bands_df, id_col, max_bucket, on_oversized)
         .select("id_a", "id_b")
@@ -211,16 +216,14 @@ def simhash_near_dupes(sim: DataFrame, id_col: str = "doc_id",
     (hamming 0 by construction — see _capped_band_pairs)."""
     bw = bits // bands
     mask = (1 << bw) - 1
-    parts = []
+    structs = []
     for b in range(bands):
         band_val = F.shiftrightunsigned(F.col("simhash"), b * bw).bitwiseAND(F.lit(mask))
-        parts.append(sim.select(
-            F.col(id_col), F.lit(b).alias("band"), band_val.alias("bh"),
-            F.col("simhash").alias("__sig"),
-        ))
-    bands_df = parts[0]
-    for p in parts[1:]:
-        bands_df = bands_df.unionByName(p)
+        structs.append(F.struct(F.lit(b).alias("band"), band_val.alias("bh")))
+    bands_df = sim.select(
+        F.col(id_col), F.col("simhash").alias("__sig"),
+        F.posexplode(F.array(*structs)).alias("__p", "e"),
+    ).select(id_col, "e.band", "e.bh", "__sig")
     hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
     return (
         _capped_band_pairs(bands_df, id_col, max_bucket, on_oversized,

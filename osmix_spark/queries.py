@@ -1147,7 +1147,13 @@ def text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding over the minhash signature (2 bands x 2 rows): candidate
     near-duplicate pairs = docs sharing any band hash. Bucket join on the
-    band hash (equi-join, skew-safe), symmetric pair dedupe."""
+    band hash (equi-join, skew-safe), symmetric pair dedupe.
+
+    The band table (2 tiny rows per doc) is materialized with ONE
+    posexplode + localCheckpoint before the self-join: the former
+    union-of-selects referenced the shingle-explode + md5 signature
+    pipeline once per band per join side (4 full evaluations in the
+    static plan)."""
     # small parquet reads as one split; spread rows before the shingle
     # explode so the md5 work parallelizes (at real scale the scan has
     # thousands of splits and this repartition is a no-op to remove)
@@ -1163,13 +1169,15 @@ def text_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("doc_id").agg(
         *[F.min(h1 + F.lit(i) * h2).alias(f"b{i}") for i in range(4)]
     )
+    bh0 = (F.col("b0") % 1000000007) * 1000003 + (F.col("b1") % 1000000007)
+    bh1 = (F.col("b2") % 1000000007) * 1000003 + (F.col("b3") % 1000000007)
     bands = sig.select(
-        "doc_id", F.lit(0).alias("band"), ((F.col("b0") % 1000000007) * 1000003 + (F.col("b1") % 1000000007)).alias("bh")
-    ).unionByName(
-        sig.select(
-            "doc_id", F.lit(1).alias("band"), ((F.col("b2") % 1000000007) * 1000003 + (F.col("b3") % 1000000007)).alias("bh")
-        )
-    )
+        "doc_id",
+        F.posexplode(F.array(
+            F.struct(F.lit(0).alias("band"), bh0.alias("bh")),
+            F.struct(F.lit(1).alias("band"), bh1.alias("bh")),
+        )).alias("__p", "e"),
+    ).select("doc_id", "e.band", "e.bh").localCheckpoint()
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
