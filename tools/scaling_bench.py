@@ -230,6 +230,19 @@ def main() -> None:
     lo_med = sorted(p[1]["sec"] for p in pairs)[len(pairs) // 2]
     hi_med = sorted(p[2]["sec"] for p in pairs)[len(pairs) // 2]
     eff_agg = lo_med / (4.0 * hi_med)
+    def pair_row(tag, e, lo_i, hi_i):
+        return {
+            "tag": tag, "efficiency": round(e, 3),
+            "lo_sec": lo_i["sec"], "hi_sec": hi_i["sec"],
+            "lo_sentinel": lo_i["sentinel"], "hi_sentinel": hi_i["sentinel"],
+            "lo_mem": lo_i.get("mem_probe"), "hi_mem": hi_i.get("mem_probe"),
+            "lo_spread": lo_i["spread"], "hi_spread": hi_i["spread"],
+        }
+
+    pair_table = (
+        [pair_row("clean", e, l, h) for e, l, h in pairs]
+        + [pair_row("DISCARDED", e, l, h) for e, l, h in rejected]
+    )
     result = {
         "job": "flagship pages geocode + cell assign + spatial join + tile agg",
         "input_pages": lo["n_pages"],
@@ -246,6 +259,7 @@ def main() -> None:
         "pass": eff >= 0.8,
         "pass_min_pair": eff_min >= 0.8,
         "pass_level_median": eff_agg >= 0.8,
+        "pairs": pair_table,
     }
     print(json.dumps(result, indent=2))
     min_note = (
@@ -290,6 +304,26 @@ discarded (not averaged in) when either level's sentinel busy-loop shows
 wall/cpu > 1.35 or its rep spread exceeds 15% of the median —
 {discarded} pair(s) were discarded by this gate in this run.{" WARNING: no clean pairs within the retry budget;"
 " the numbers above are from POLLUTED pairs." if fallback_polluted else ""}
+
+Per-pair noise evidence (every pair, clean AND discarded — the sentinel
+wall/cpu ratios and first-touch memory-backing probes bracketing each
+level's timed reps, so a low-ratio pair can be checked against host drift
+directly instead of by assertion):
+
+| pair | eff | lo s | hi s | lo sent pre/post | hi sent pre/post | lo mem pre/post (s) | hi mem pre/post (s) | lo spr | hi spr |
+|---|---|---|---|---|---|---|---|---|---|
+{chr(10).join(
+    f"| {p['tag']} | {p['efficiency']} | {p['lo_sec']} | {p['hi_sec']} "
+    f"| {p['lo_sentinel'][0]}/{p['lo_sentinel'][-1]} "
+    f"| {p['hi_sentinel'][0]}/{p['hi_sentinel'][-1]} "
+    f"| {p['lo_mem'][0]}/{p['lo_mem'][-1]} "
+    f"| {p['hi_mem'][0]}/{p['hi_mem'][-1]} "
+    f"| {p['lo_spread']} | {p['hi_spread']} |"
+    for p in pair_table)}
+
+A quiet pair shows sentinel ~1.0/1.0 and mem probes in the ~0.05s range;
+a pair whose ratio dips below target with elevated post-sentinels or a
+slow mem probe is host drift caught in the act, not a property of the job.
 
 Methodology notes: child JVMs start with -Xms=-Xmx + AlwaysPreTouch so the
 sandbox's lazily host-backed memory is faulted in at JVM start, outside the
