@@ -474,8 +474,12 @@ def overlap_candidate_pairs(ax: DataFrame, bx: DataFrame, z: int,
     # reference it 2-3x, and inlining the trig-bearing cover tree that many
     # times bloats codegen (64 KB method limit). Built via F.expr SQL
     # strings (_with_adaptive_cover) — a DataFrame-build-time win, same plan.
-    a_base = _with_adaptive_cover(ax, a_box, z)
-    b_base = _with_adaptive_cover(bx, b_box, z)
+    # localCheckpoint: each side feeds BOTH join directions (cover explode
+    # and ancestor explode) — without it the trig cover computes twice per
+    # side. The materialized row is narrow (id + 4 doubles + <= 4 packed
+    # cells), so this is cheaper than one recompute at any scale.
+    a_base = _with_adaptive_cover(ax, a_box, z).localCheckpoint()
+    b_base = _with_adaptive_cover(bx, b_box, z).localCheckpoint()
     a_self = a_base.withColumn("__cell", F.explode("__cov")).drop("__cov")
     a_anc = a_base.withColumn(
         "__cell", F.expr(f"explode(array_distinct(concat(__cov, {_ANC_SQL})))")
